@@ -1,0 +1,259 @@
+"""Crank-Nicolson pseudo-spectral Navier-Stokes solver on the 2D torus.
+
+TPU-native equivalent of reference:fourierflow/builders/synthetic/ns_2d.py
+(the torus_vis / torus_vis_force data generator, itself adapted from Zongyi
+Li's public code). Differences from the reference are deliberate TPU
+choices:
+
+- the vorticity state lives in **rfft half-spectrum** (the reference keeps
+  the full complex fft2), halving memory and transform work;
+- the time loop is a ``lax.scan`` of record windows (the reference is a
+  Python loop), so the whole trajectory compiles to one XLA program;
+- the domain is [0,1]^2 with integer wavenumbers scaled by 2*pi, matching
+  the reference exactly.
+
+Physics per step (ns_2d.py:125-176): streamfunction Poisson solve,
+spectral velocities/gradients, nonlinear term in physical space, 2/3-rule
+dealiasing, Crank-Nicolson update of the diffusion term with explicit
+advection/forcing.
+"""
+
+import math
+from enum import Enum
+from functools import partial
+from typing import Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.fourier import irfft2 as _irfft2, resolve_fourier_impl, rfft2 as _rfft2
+
+__all__ = ["Force", "solve_navier_stokes_2d", "random_force"]
+
+
+class Force(str, Enum):
+    li = "li"
+    random = "random"
+    none = "none"
+    kolmogorov = "kolmogorov"
+
+
+def _wavenumbers(n: int):
+    """Integer wavenumbers in rfft2 layout: kx full [n], ky half [n//2+1]."""
+    kx = np.fft.fftfreq(n, d=1.0 / n)
+    ky = np.arange(n // 2 + 1)
+    kxm, kym = np.meshgrid(kx, ky, indexing="ij")
+    return kxm.astype(np.float32), kym.astype(np.float32)
+
+
+def li_force(n: int) -> np.ndarray:
+    """0.1*(sin(2pi(x+y)) + cos(2pi(x+y))) on [0,1)^2 (ns_2d.py:59-66)."""
+    t = np.linspace(0, 1, n + 1)[:-1]
+    x, y = np.meshgrid(t, t, indexing="ij")
+    return (0.1 * (np.sin(2 * np.pi * (x + y)) + np.cos(2 * np.pi * (x + y)))).astype(
+        np.float32
+    )
+
+
+def kolmogorov_force(n: int) -> np.ndarray:
+    """-4*cos(4y) on [0,2pi)^2 (ns_2d.py:67-71)."""
+    t = np.linspace(0, 2 * np.pi, n + 1)[:-1]
+    _, y = np.meshgrid(t, t, indexing="ij")
+    return (-4.0 * np.cos(4.0 * y)).astype(np.float32)
+
+
+def random_force(
+    alphas: jax.Array, n: int, t: Union[float, jax.Array], t_scaling: float, scaling: float
+) -> jax.Array:
+    """Random sinusoid-mixture forcing (ns_2d.py:203-237): per sample and
+    cycle p, six U(0,1)-weighted terms sin/cos(2*pi*p*X + t_scaling*t),
+    same for Y and X+Y.
+
+    alphas: [b, cycles, 6] uniform samples (fixed per trajectory).
+    """
+    b, cycles, _ = alphas.shape
+    ts = np.linspace(0, 1, n + 1)[:-1].astype(np.float32)
+    x, y = np.meshgrid(ts, ts, indexing="ij")
+    x = jnp.asarray(x)[None, None]  # [1, 1, n, n]
+    y = jnp.asarray(y)[None, None]
+    p = jnp.arange(1, cycles + 1, dtype=jnp.float32).reshape(1, cycles, 1, 1)
+    k = 2 * jnp.pi * p
+    phase = t_scaling * t
+    a = alphas[..., None, None]  # [b, cycles, 1, 1, 1] per term below
+    f = (
+        a[:, :, 0] * jnp.sin(k * x + phase)
+        + a[:, :, 1] * jnp.cos(k * x + phase)
+        + a[:, :, 2] * jnp.sin(k * y + phase)
+        + a[:, :, 3] * jnp.cos(k * y + phase)
+        + a[:, :, 4] * jnp.sin(k * (x + y) + phase)
+        + a[:, :, 5] * jnp.cos(k * (x + y) + phase)
+    )
+    return scaling * f.sum(axis=1)  # [b, n, n]
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "record_steps",
+        "inner_steps",
+        "force",
+        "varying_force",
+        "cycles",
+        "fourier_impl",
+    ),
+)
+def _solve(
+    w0,
+    visc,
+    delta_t: float,
+    record_steps: int,
+    inner_steps: int,
+    f_static,
+    alphas,
+    cycles: int,
+    scaling: float,
+    t_scaling: float,
+    force: str,
+    varying_force: bool,
+    fourier_impl: str = "auto",
+):
+    def rfft2(x, axes):
+        return _rfft2(x, axes=axes, impl=fourier_impl)
+
+    def irfft2(z, s, axes):
+        return _irfft2(z, s=s, axes=axes, impl=fourier_impl)
+
+    b, n, _ = w0.shape
+    kx, ky = (jnp.asarray(a) for a in _wavenumbers(n))
+    k_max = n // 2
+    lap = 4 * (math.pi**2) * (kx**2 + ky**2)
+    lap = lap.at[0, 0].set(1.0)
+    dealias = (
+        (jnp.abs(ky) <= (2.0 / 3.0) * k_max) & (jnp.abs(kx) <= (2.0 / 3.0) * k_max)
+    ).astype(w0.dtype)[None]
+
+    visc = jnp.asarray(visc, dtype=w0.dtype)
+    if visc.ndim == 1:
+        visc = visc[:, None, None]
+    cn = 0.5 * delta_t * visc * lap[None]  # [b or 1, n, m]
+
+    w_h = rfft2(w0, axes=(1, 2))
+    if force == "none":
+        f_h = jnp.zeros_like(w_h[:1])
+    elif not varying_force:
+        f_h = rfft2(f_static, axes=(-2, -1))
+        if f_h.ndim == 2:
+            f_h = f_h[None]
+
+    two_pi_i = 2 * math.pi * 1j
+
+    def step(w_h, t):
+        psi_h = w_h / lap
+        q = irfft2(two_pi_i * ky * psi_h, s=(n, n), axes=(1, 2))
+        v = irfft2(-two_pi_i * kx * psi_h, s=(n, n), axes=(1, 2))
+        w_x = irfft2(two_pi_i * kx * w_h, s=(n, n), axes=(1, 2))
+        w_y = irfft2(two_pi_i * ky * w_h, s=(n, n), axes=(1, 2))
+        f_adv = rfft2(q * w_x + v * w_y, axes=(1, 2)) * dealias
+
+        if varying_force:
+            f_t = random_force(alphas, n, t, t_scaling, scaling)
+            fh_t = rfft2(f_t, axes=(1, 2))
+        else:
+            f_t = None
+            fh_t = f_h
+        new_w_h = (-delta_t * f_adv + delta_t * fh_t + (1.0 - cn) * w_h) / (1.0 + cn)
+        return new_w_h, f_t
+
+    def outer(carry, idx):
+        w_h, t = carry
+
+        def inner(c, j):
+            w_h, t = c
+            new_w_h, _ = step(w_h, t)
+            return (new_w_h, t + delta_t), None
+
+        (w_h, t), _ = jax.lax.scan(inner, (w_h, t), jnp.arange(inner_steps))
+        w = irfft2(w_h, s=(n, n), axes=(1, 2))
+        if varying_force:
+            # the force recorded alongside the snapshot (at the pre-step
+            # time of the last inner step, matching ns_2d.py:156-160,185)
+            f_rec = random_force(alphas, n, t - delta_t, t_scaling, scaling)
+        else:
+            f_rec = jnp.zeros((1, 1, 1), dtype=w.dtype)
+        return (w_h, t), (w, f_rec, t)
+
+    (w_h, t), (sol, fs, sol_t) = jax.lax.scan(
+        outer, (w_h, jnp.asarray(0.0, dtype=w0.dtype)), jnp.arange(record_steps)
+    )
+    # scan stacks on axis 0 -> [record, b, n, n]; put time last.
+    sol = jnp.moveaxis(sol, 0, -1)
+    fs = jnp.moveaxis(fs, 0, -1) if varying_force else fs
+    return sol, fs, sol_t
+
+
+def solve_navier_stokes_2d(
+    w0: jax.Array,
+    visc: Union[float, np.ndarray],
+    t_end: float,
+    delta_t: float,
+    record_steps: int,
+    cycles: Optional[int] = None,
+    scaling: Optional[float] = None,
+    t_scaling: Optional[float] = None,
+    force: Union[str, Force] = Force.li,
+    varying_force: bool = False,
+    key: Optional[jax.Array] = None,
+    fourier_impl: str = "auto",
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Solve 2D NS in vorticity form; returns (sol [b,n,n,record_steps], f).
+
+    Mirrors the reference signature (ns_2d.py:23-200). ``key`` seeds the
+    random forcing coefficients (the reference draws a numpy seed).
+    """
+    force = Force(force)
+    b, n, _ = w0.shape
+    steps = math.ceil(t_end / delta_t)
+    inner_steps = steps // record_steps
+    if inner_steps < 1:
+        raise ValueError("record_steps exceeds total solver steps")
+
+    f_static = None
+    alphas = jnp.zeros((b, 1, 6))
+    if force == Force.li:
+        f_static = jnp.asarray(li_force(n))
+    elif force == Force.kolmogorov:
+        f_static = jnp.asarray(kolmogorov_force(n))
+    elif force == Force.random:
+        if key is None:
+            key = jax.random.PRNGKey(np.random.randint(1, 1 << 31))
+        alphas = jax.random.uniform(key, (b, cycles, 6))
+        if not varying_force:
+            f_static = random_force(alphas, n, 0.0, 0.0, scaling)
+
+    sol, fs, _ = _solve(
+        jnp.asarray(w0),
+        visc,
+        float(delta_t),
+        int(record_steps),
+        int(inner_steps),
+        f_static,
+        alphas,
+        int(cycles or 0),
+        float(scaling or 0.0),
+        float(t_scaling or 0.0),
+        force.value,
+        bool(varying_force),
+        resolve_fourier_impl(fourier_impl),
+    )
+    sol = np.asarray(sol)
+    if np.isnan(sol).any():
+        raise ValueError("NaN values found.")
+
+    if force == Force.none:
+        f_out = None
+    elif varying_force:
+        f_out = np.asarray(fs)
+    else:
+        f_out = np.asarray(f_static)
+    return sol, f_out

@@ -21,6 +21,7 @@ import numpy as np
 __all__ = [
     "rdft_basis",
     "irdft_basis",
+    "cdft_basis",
     "dct2_basis",
     "idct2_basis",
 ]
@@ -67,6 +68,23 @@ def irdft_basis(n: int, modes: int, norm: str = "ortho", dtype: str = "float32")
     cr = c * np.cos(ang) * scale
     ci = -c * np.sin(ang) * scale
     return cr.astype(dtype), ci.astype(dtype)
+
+
+@functools.lru_cache(maxsize=128)
+def cdft_basis(n: int, inverse: bool = False, dtype: str = "float32"):
+    """Full complex-DFT matrices ``(Fr, Fi)``, each ``[n, n]``, such that
+    for complex z the (i)fft along an axis is ``z @ (Fr + i*Fi)``.
+    Forward uses norm='backward' (scale 1); inverse scales by 1/n."""
+    k = np.arange(n)[None, :]
+    t = np.arange(n)[:, None]
+    ang = 2.0 * np.pi * t * k / n
+    if inverse:
+        fr = np.cos(ang) / n
+        fi = np.sin(ang) / n
+    else:
+        fr = np.cos(ang)
+        fi = -np.sin(ang)
+    return fr.astype(dtype), fi.astype(dtype)
 
 
 @functools.lru_cache(maxsize=128)

@@ -1,0 +1,119 @@
+"""Platform-robust 2D Fourier transforms for the solver / physics paths.
+
+The axon TPU backend's native FFT lowering is unreliable (eager fft
+dispatch raises UNIMPLEMENTED; jitted fft compiles are flaky — verified on
+TPU v5e). These wrappers therefore default to **dense-matmul DFTs on the
+MXU** on TPU (exact, deterministic, and fast for the grid sizes used:
+O(n^3) matmul beats a poorly-supported FFT up to ~1024), and XLA's FFT on
+CPU. Use ``set_default_impl`` to override globally.
+
+All functions operate on two trailing-or-named spatial axes and accept
+jnp complex arrays at the interface; internally everything is real-pair
+arithmetic so only real matmuls hit the hardware.
+"""
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .dft import cdft_basis, irdft_basis, rdft_basis
+
+__all__ = [
+    "rfft2",
+    "irfft2",
+    "fft2",
+    "ifft2",
+    "fftn",
+    "ifftn",
+    "set_default_impl",
+    "resolve_fourier_impl",
+]
+
+_DEFAULT_IMPL: Optional[str] = None  # None -> per-platform auto
+
+
+def set_default_impl(impl: Optional[str]) -> None:
+    """Set the global default ('matmul' | 'xla' | None for auto)."""
+    global _DEFAULT_IMPL
+    _DEFAULT_IMPL = impl
+
+
+def resolve_fourier_impl(impl: str = "auto") -> str:
+    if impl != "auto":
+        return impl
+    if _DEFAULT_IMPL is not None:
+        return _DEFAULT_IMPL
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:
+        backend = "cpu"
+    return "xla" if backend == "cpu" else "matmul"
+
+
+def _cfft_axis(zr, zi, axis: int, inverse: bool) -> Tuple[jax.Array, jax.Array]:
+    """Complex DFT along `axis` via real matmuls."""
+    n = zr.shape[axis]
+    fr, fi = (jnp.asarray(m) for m in cdft_basis(n, inverse, dtype=str(zr.dtype)))
+    zr = jnp.moveaxis(zr, axis, -1)
+    zi = jnp.moveaxis(zi, axis, -1)
+    yr = zr @ fr - zi @ fi
+    yi = zr @ fi + zi @ fr
+    return jnp.moveaxis(yr, -1, axis), jnp.moveaxis(yi, -1, axis)
+
+
+def rfft2(x: jax.Array, axes=(-2, -1), impl: str = "auto") -> jax.Array:
+    """Real 2D FFT over `axes` (half-spectrum on axes[1]), norm='backward'."""
+    if resolve_fourier_impl(impl) == "xla":
+        return jnp.fft.rfftn(x, axes=axes)
+    ax0, ax1 = (a % x.ndim for a in axes)
+    n1 = x.shape[ax1]
+    m = n1 // 2 + 1
+    er, ei = (jnp.asarray(b) for b in rdft_basis(n1, m, norm="backward", dtype=str(x.dtype)))
+    xm = jnp.moveaxis(x, ax1, -1)
+    zr = jnp.moveaxis(xm @ er, -1, ax1)
+    zi = jnp.moveaxis(xm @ ei, -1, ax1)
+    yr, yi = _cfft_axis(zr, zi, ax0, inverse=False)
+    return yr + 1j * yi
+
+
+def irfft2(z: jax.Array, s, axes=(-2, -1), impl: str = "auto") -> jax.Array:
+    """Inverse of ``rfft2`` back to a real field of spatial shape `s`."""
+    if resolve_fourier_impl(impl) == "xla":
+        return jnp.fft.irfftn(z, s=s, axes=axes)
+    ax0, ax1 = (a % z.ndim for a in axes)
+    n0, n1 = s
+    zr, zi = jnp.real(z), jnp.imag(z)
+    zr, zi = _cfft_axis(zr, zi, ax0, inverse=True)
+    m = z.shape[ax1]
+    cr, ci = (jnp.asarray(b) for b in irdft_basis(n1, m, norm="backward", dtype=str(zr.dtype)))
+    out = jnp.moveaxis(zr, ax1, -1) @ cr + jnp.moveaxis(zi, ax1, -1) @ ci
+    return jnp.moveaxis(out, -1, ax1)
+
+
+def fftn(z: jax.Array, axes, impl: str = "auto") -> jax.Array:
+    if resolve_fourier_impl(impl) == "xla":
+        return jnp.fft.fftn(z, axes=axes)
+    zr = jnp.real(z).astype(jnp.float32)
+    zi = jnp.imag(z).astype(jnp.float32)
+    for ax in axes:
+        zr, zi = _cfft_axis(zr, zi, ax % z.ndim, inverse=False)
+    return zr + 1j * zi
+
+
+def ifftn(z: jax.Array, axes, impl: str = "auto") -> jax.Array:
+    if resolve_fourier_impl(impl) == "xla":
+        return jnp.fft.ifftn(z, axes=axes)
+    zr = jnp.real(z).astype(jnp.float32)
+    zi = jnp.imag(z).astype(jnp.float32)
+    for ax in axes:
+        zr, zi = _cfft_axis(zr, zi, ax % z.ndim, inverse=True)
+    return zr + 1j * zi
+
+
+def fft2(z: jax.Array, axes=(-2, -1), impl: str = "auto") -> jax.Array:
+    return fftn(z, axes, impl)
+
+
+def ifft2(z: jax.Array, axes=(-2, -1), impl: str = "auto") -> jax.Array:
+    return ifftn(z, axes, impl)

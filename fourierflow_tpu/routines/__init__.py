@@ -1,0 +1,11 @@
+from .base import Routine, TrainState, make_optimizer
+from .grid_2d_markov import Grid2DMarkovRoutine
+from .grid_2d_rollout import Grid2DRolloutRoutine
+
+__all__ = [
+    "Routine",
+    "TrainState",
+    "make_optimizer",
+    "Grid2DMarkovRoutine",
+    "Grid2DRolloutRoutine",
+]

@@ -1,0 +1,120 @@
+"""Full-rollout training routine (the Li et al. reproduction): 10-step
+input window, autoregressive unroll with shifted windows.
+
+TPU-native redesign of reference:fourierflow/routines/grid_2d_rollout.py:
+the Python unroll loop (:115-136) becomes a ``lax.scan``; training and
+evaluation share the same scanned unroll.
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..layers import encode_positions, fourier_encode, lp_loss_rel
+from .base import Routine, TrainState
+
+__all__ = ["Grid2DRolloutRoutine"]
+
+
+class Grid2DRolloutRoutine(Routine):
+    def __init__(
+        self,
+        model,
+        n_steps: int,
+        k_max: int = 32,
+        num_freq_bands: int = 8,
+        freq_base: float = 2.0,
+        use_fourier_position: bool = False,
+        append_pos: bool = True,
+        teacher_forcing: bool = False,
+        step_size: float = 1.0,
+        optimizer=None,
+        **kwargs,
+    ):
+        super().__init__(optimizer=optimizer)
+        self.model = model
+        self.n_steps = n_steps
+        self.k_max = k_max
+        self.num_freq_bands = num_freq_bands
+        self.freq_base = freq_base
+        self.use_fourier_position = use_fourier_position
+        self.append_pos = append_pos
+        self.teacher_forcing = teacher_forcing
+        self.step_size = step_size
+        if use_fourier_position:
+            raise NotImplementedError(
+                "use_fourier_position is an unused reference ablation "
+                "(grid_2d_rollout.py:37-38); not ported."
+            )
+
+    def init(self, key, sample_batch) -> TrainState:
+        xx = jnp.asarray(sample_batch["x"])
+        params = self.model.init(key, xx)
+        return self.make_train_state(params)
+
+    def _unroll(self, params, xx, yy, training: bool):
+        """xx: [b, X, Y, window(+2 pos)], yy: [b, X, Y, n_steps].
+        Returns (loss, loss_full, preds, step_losses, p, time_until)."""
+        b, sx, sy, _ = xx.shape
+        p_chan = 2 if self.append_pos else 0
+
+        ticks = jnp.linspace(0, 1, sx, dtype=xx.dtype)
+        grid_x = jnp.broadcast_to(ticks[None, :, None, None], (b, sx, sy, 1))
+        grid_y = jnp.broadcast_to(ticks[None, None, :, None], (b, sx, sy, 1))
+        pos_feats = jnp.concatenate([grid_x, grid_y], axis=-1)
+
+        def step(embeds, y_t):
+            out = self.model.apply(params, embeds)["forecast"]
+            l = lp_loss_rel(out.reshape(b, -1), y_t.reshape(b, -1))
+            im = out
+            if self.teacher_forcing and training:
+                im = y_t[..., None]
+            if self.append_pos:
+                embeds = jnp.concatenate(
+                    [embeds[..., 1:-p_chan], im, pos_feats], axis=-1
+                )
+            else:
+                embeds = jnp.concatenate([embeds[..., 1:], im], axis=-1)
+            return embeds, (out[..., 0], l)
+
+        ys = jnp.moveaxis(yy, -1, 0)  # [n_steps, b, X, Y]
+        _, (preds, step_losses) = jax.lax.scan(step, xx, ys)
+        preds = jnp.moveaxis(preds, 0, -1)
+
+        loss = jnp.mean(step_losses)
+        loss_full = lp_loss_rel(preds.reshape(b, -1), yy.reshape(b, -1))
+
+        pred_norm = jnp.linalg.norm(preds, axis=(1, 2), keepdims=True)
+        yy_norm = jnp.linalg.norm(yy, axis=(1, 2), keepdims=True)
+        p = ((preds / pred_norm) * (yy / yy_norm)).sum(axis=(1, 2)).mean(axis=0)
+        has_diverged = p < 0.95
+        diverged_t = jnp.where(jnp.any(has_diverged), jnp.argmax(has_diverged), p.shape[0])
+        time_until = diverged_t * self.step_size
+        return loss, loss_full, preds, step_losses, p, time_until
+
+    def train_step(self, state: TrainState, batch, rng=None):
+        xx, yy = batch["x"], batch["y"]
+
+        def loss_fn(params):
+            loss, loss_full, *_ = self._unroll(params, xx, yy, training=True)
+            return loss, loss_full
+
+        (loss, loss_full), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        state = self.apply_grads(state, grads)
+        return state, {"train_loss": loss, "train_loss_full": loss_full}
+
+    def valid_step(self, state: TrainState, batch):
+        loss, loss_full, preds, step_losses, p, time_until = self._unroll(
+            state.params, batch["x"], batch["y"], training=False
+        )
+        loss = jnp.where(jnp.isnan(loss), 9999.9, loss)
+        loss_full = jnp.where(jnp.isnan(loss_full), 9999.9, loss_full)
+        return {
+            "loss_avg": loss,
+            "loss": loss_full,
+            "time_until": time_until,
+            "corr": p.mean(),
+            "correlations": p,
+            "step_losses": step_losses,
+        }

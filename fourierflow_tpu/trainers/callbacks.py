@@ -1,0 +1,117 @@
+"""Trainer callbacks: checkpointing and metric logging.
+
+Replaces the reference's Lightning callbacks
+(reference:fourierflow/callbacks/model_checkpoint.py,
+callbacks/wandb_logger.py). Checkpoints serialize the full train state
+(params + optimizer + normalizer stats + step) with flax msgpack; metrics
+stream to a JSONL file (wandb-compatible offline format).
+"""
+
+import json
+import logging
+import os
+import time
+from typing import Optional
+
+import flax.serialization
+import jax
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["Callback", "ModelCheckpoint", "JSONLogger", "save_state", "load_state"]
+
+
+def save_state(path: str, state) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(flax.serialization.to_bytes(state))
+
+
+def load_state(path: str, template):
+    """Restore a train state saved by ``save_state``. ``template`` is a
+    freshly-initialized state with the same treedef (resolution-dependent
+    buffers are rebuilt from shapes at init, so super-resolution loading
+    needs no key stripping — cf. reference routines/base.py:89-102)."""
+    with open(path, "rb") as f:
+        return flax.serialization.from_bytes(template, f.read())
+
+
+class Callback:
+    def on_fit_start(self, trainer, routine, state):
+        pass
+
+    def on_epoch_end(self, trainer, routine, state):
+        pass
+
+    def on_fit_end(self, trainer, routine, state):
+        pass
+
+    def on_test_end(self, trainer, routine, state):
+        pass
+
+
+class ModelCheckpoint(Callback):
+    """Keep the single best checkpoint by a monitored metric
+    (reference callbacks/model_checkpoint.py:15-63). With ``monitor=None``
+    saves every epoch (the flagship config monitors nothing and keeps the
+    last, torus_li markov config.yaml:62-66)."""
+
+    def __init__(
+        self,
+        dirpath: str,
+        monitor: Optional[str] = None,
+        mode: str = "min",
+        filename: str = "best.ckpt",
+        save_last: bool = True,
+    ):
+        self.dirpath = dirpath
+        self.monitor = monitor
+        self.mode = mode
+        self.filename = filename
+        self.save_last = save_last
+        self.best = np.inf if mode == "min" else -np.inf
+        self.best_path = None
+
+    def on_epoch_end(self, trainer, routine, state):
+        if self.save_last:
+            save_state(os.path.join(self.dirpath, "last.ckpt"), state)
+        if self.monitor is None:
+            save_state(os.path.join(self.dirpath, self.filename), state)
+            self.best_path = os.path.join(self.dirpath, self.filename)
+            return
+        value = trainer.logs.get(self.monitor)
+        if value is None:
+            return
+        better = value < self.best if self.mode == "min" else value > self.best
+        if better:
+            self.best = value
+            self.best_path = os.path.join(self.dirpath, self.filename)
+            save_state(self.best_path, state)
+            logger.info("saved best %s=%.6f -> %s", self.monitor, value, self.best_path)
+
+
+class JSONLogger(Callback):
+    """Append scalar logs per epoch to a JSONL file."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+
+    def _write(self, trainer):
+        row = {"time": time.time()}
+        for k, v in trainer.logs.items():
+            if isinstance(v, (int, float, str)):
+                row[k] = v
+            elif np.ndim(v) == 0:
+                row[k] = float(v)
+            elif isinstance(v, (np.ndarray, jax.Array)) and np.size(v) <= 64:
+                row[k] = np.asarray(v).tolist()
+        with open(self.path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+
+    def on_epoch_end(self, trainer, routine, state):
+        self._write(trainer)
+
+    def on_test_end(self, trainer, routine, state):
+        self._write(trainer)

@@ -1,0 +1,153 @@
+"""Training harness: a thin epoch loop over jit'd routine step functions.
+
+TPU-native redesign of the reference's two trainers (pytorch_lightning
+Trainer for torch, the hand-rolled JAXTrainer at
+reference:fourierflow/trainers/jax_trainer.py:20-128): the routine's
+step functions are pure, jit-compiled once, and batches are device_put
+with the batch axis sharded over the device mesh (data parallelism via
+XLA collectives — no DDP process groups).
+"""
+
+import logging
+import time
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+
+from ..parallel.mesh import make_mesh, shard_batch
+from ..routines.base import Routine, TrainState
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["Trainer"]
+
+
+def _weighted_merge(metric_list):
+    """Weighted epoch-end aggregation (jax_trainer.py:84-102)."""
+    if not metric_list:
+        return {}
+    total = sum(w for _, w in metric_list)
+    out = {}
+    for key in metric_list[0][0]:
+        vals = [np.asarray(m[key]) * w for m, w in metric_list]
+        out[key] = sum(vals) / total
+    return out
+
+
+class Trainer:
+    def __init__(
+        self,
+        max_epochs: int = 1,
+        limit_train_batches: Optional[int] = None,
+        limit_val_batches: Optional[int] = None,
+        callbacks: Sequence = (),
+        seed: int = 0,
+        data_parallel: bool = True,
+        log_every_n_steps: int = 100,
+        check_val_every_n_epoch: int = 1,
+        mesh=None,
+    ):
+        self.max_epochs = max_epochs
+        self.limit_train_batches = limit_train_batches
+        self.limit_val_batches = limit_val_batches
+        self.callbacks = list(callbacks)
+        self.seed = seed
+        self.log_every_n_steps = log_every_n_steps
+        self.check_val_every_n_epoch = check_val_every_n_epoch
+        self.mesh = mesh
+        if mesh is None and data_parallel and len(jax.devices()) > 1:
+            self.mesh = make_mesh()
+        self.logs = {}
+        self.current_epoch = 0
+        self.global_step = 0
+
+    # ------------------------------------------------------------------
+    def _put(self, batch):
+        if self.mesh is not None:
+            return shard_batch(batch, self.mesh)
+        return batch
+
+    def _hook(self, name, *args):
+        for cb in self.callbacks:
+            fn = getattr(cb, name, None)
+            if fn:
+                fn(self, *args)
+
+    # ------------------------------------------------------------------
+    def fit(self, routine: Routine, builder, state: Optional[TrainState] = None):
+        rng = np.random.default_rng(self.seed)
+        base_key = jax.random.PRNGKey(self.seed)
+
+        if state is None:
+            state = routine.init(jax.random.PRNGKey(self.seed), builder.sample_batch())
+        logger.info("n_params = %d", routine.n_params(state))
+        self.logs["n_params"] = routine.n_params(state)
+
+        train_step = jax.jit(routine.train_step, donate_argnums=(0,))
+        acc_step = jax.jit(routine.accumulate_step, donate_argnums=(0,))
+
+        self._hook("on_fit_start", routine, state)
+        normalizes = getattr(routine, "should_normalize", False)
+
+        for epoch in range(self.max_epochs):
+            self.current_epoch = epoch
+            t0 = time.time()
+            train_metrics = []
+            for i, batch in enumerate(builder.train_batches(rng)):
+                if self.limit_train_batches and i >= self.limit_train_batches:
+                    break
+                batch = self._put(batch)
+                if epoch == 0 and normalizes:
+                    # Epoch 0 only gathers normalizer statistics
+                    # (grid_2d_markov.py:374-390).
+                    state = acc_step(state, batch)
+                else:
+                    step_key = jax.random.fold_in(base_key, self.global_step)
+                    state, metrics = train_step(state, batch, step_key)
+                    self.global_step += 1
+                    train_metrics.append((metrics, len(next(iter(batch.values())))))
+
+            if train_metrics:
+                merged = _weighted_merge(
+                    [({k: float(v) for k, v in m.items()}, w) for m, w in train_metrics]
+                )
+                self.logs.update(merged)
+
+            if (epoch + 1) % self.check_val_every_n_epoch == 0:
+                val_logs = self.evaluate(routine, builder, state, split="valid")
+                self.logs.update(val_logs)
+
+            self.logs["epoch"] = epoch
+            self.logs["epoch_time"] = time.time() - t0
+            self._hook("on_epoch_end", routine, state)
+
+        self._hook("on_fit_end", routine, state)
+        return state
+
+    # ------------------------------------------------------------------
+    def evaluate(self, routine: Routine, builder, state: TrainState, split: str = "valid"):
+        valid_step = jax.jit(routine.valid_step)
+        batches = builder.val_batches() if split == "valid" else builder.test_batches()
+        metric_list = []
+        for i, batch in enumerate(batches):
+            if self.limit_val_batches and i >= self.limit_val_batches:
+                break
+            n = len(next(iter(batch.values())))
+            metrics = valid_step(state, self._put(batch))
+            metrics = {k: np.asarray(v) for k, v in metrics.items()}
+            metric_list.append((metrics, n))
+        merged = _weighted_merge(metric_list)
+        out = {}
+        for k, v in merged.items():
+            if np.ndim(v) == 0:
+                out[f"{split}_{k}"] = float(v)
+            else:
+                out[f"{split}_{k}"] = v
+        return out
+
+    def test(self, routine: Routine, builder, state: TrainState):
+        logs = self.evaluate(routine, builder, state, split="test")
+        self.logs.update(logs)
+        self._hook("on_test_end", routine, state)
+        return logs

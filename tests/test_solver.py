@@ -1,0 +1,121 @@
+"""Tests for the native pseudo-spectral Navier-Stokes solver and the
+Gaussian random field sampler."""
+
+import math
+
+import jax
+import numpy as np
+
+from fourierflow_tpu.builders.synthetic import (
+    gaussian_random_field,
+    solve_navier_stokes_2d,
+)
+
+
+def _reference_cn_steps(w0, visc, delta_t, n_steps, f):
+    """Independent numpy implementation of the Crank-Nicolson update,
+    mirroring reference ns_2d.py:125-176 with full fft2 (the production
+    solver uses the rfft half-spectrum)."""
+    n = w0.shape[-1]
+    k1 = np.fft.fftfreq(n, d=1.0 / n)
+    kx, ky = np.meshgrid(k1, k1, indexing="ij")
+    lap = 4 * np.pi**2 * (kx**2 + ky**2)
+    lap[0, 0] = 1.0
+    k_max = n // 2
+    dealias = (np.abs(ky) <= 2.0 / 3.0 * k_max) & (np.abs(kx) <= 2.0 / 3.0 * k_max)
+
+    w_h = np.fft.fft2(w0)
+    f_h = np.fft.fft2(f)
+    for _ in range(n_steps):
+        psi_h = w_h / lap
+        q = np.real(np.fft.ifft2(2j * np.pi * ky * psi_h))
+        v = np.real(np.fft.ifft2(-2j * np.pi * kx * psi_h))
+        w_x = np.real(np.fft.ifft2(2j * np.pi * kx * w_h))
+        w_y = np.real(np.fft.ifft2(2j * np.pi * ky * w_h))
+        F_h = np.fft.fft2(q * w_x + v * w_y) * dealias
+        factor = 0.5 * delta_t * visc * lap
+        w_h = (-delta_t * F_h + delta_t * f_h + (1.0 - factor) * w_h) / (1.0 + factor)
+    return np.real(np.fft.ifft2(w_h))
+
+
+def test_solver_matches_reference_math():
+    rng = np.random.RandomState(0)
+    n = 16
+    w0 = rng.randn(2, n, n).astype(np.float32)
+    w0 -= w0.mean(axis=(1, 2), keepdims=True)
+    visc = 1e-2
+    dt = 1e-2
+    n_steps = 20
+
+    sol, f = solve_navier_stokes_2d(
+        w0, visc, t_end=n_steps * dt, delta_t=dt, record_steps=1, force="li"
+    )
+    want = np.stack([_reference_cn_steps(w0[i], visc, dt, n_steps, f) for i in range(2)])
+    # float32 rfft solver vs float64 numpy reference: allow accumulated
+    # roundoff over 20 steps, but demand near-perfect correlation.
+    np.testing.assert_allclose(sol[..., 0], want, rtol=1e-2, atol=2e-3)
+    got = sol[..., 0].ravel()
+    corr = np.corrcoef(got, want.ravel())[0, 1]
+    assert corr > 0.999999
+
+
+def test_solver_records_and_force_shapes():
+    rng = np.random.RandomState(1)
+    w0 = rng.randn(3, 16, 16).astype(np.float32)
+    sol, f = solve_navier_stokes_2d(
+        w0, 1e-3, t_end=0.5, delta_t=1e-2, record_steps=5, force="li"
+    )
+    assert sol.shape == (3, 16, 16, 5)
+    assert f.shape == (16, 16)
+    assert np.isfinite(sol).all()
+
+
+def test_solver_varying_force():
+    rng = np.random.RandomState(2)
+    w0 = rng.randn(2, 16, 16).astype(np.float32)
+    sol, f = solve_navier_stokes_2d(
+        w0,
+        1e-3,
+        t_end=0.2,
+        delta_t=1e-2,
+        record_steps=4,
+        force="random",
+        varying_force=True,
+        cycles=2,
+        scaling=0.1,
+        t_scaling=0.2,
+        key=jax.random.PRNGKey(0),
+    )
+    assert sol.shape == (2, 16, 16, 4)
+    assert f.shape == (2, 16, 16, 4)
+    # the force actually varies over time
+    assert np.abs(f[..., 0] - f[..., -1]).max() > 1e-6
+
+
+def test_solver_per_sample_viscosity():
+    rng = np.random.RandomState(3)
+    w0 = rng.randn(2, 16, 16).astype(np.float32)
+    w0[1] = w0[0]
+    visc = np.array([1e-2, 1e-1], dtype=np.float32)
+    sol, _ = solve_navier_stokes_2d(
+        w0, visc, t_end=0.3, delta_t=1e-2, record_steps=3, force="li"
+    )
+    # higher viscosity decays the same IC faster
+    e0 = np.linalg.norm(sol[0, ..., -1])
+    e1 = np.linalg.norm(sol[1, ..., -1])
+    assert e1 < e0
+
+
+def test_gaussian_random_field_spectrum():
+    key = jax.random.PRNGKey(0)
+    u = gaussian_random_field(key, 16, 32, n_dims=2, alpha=2.5, tau=7.0)
+    assert u.shape == (16, 32, 32)
+    u = np.asarray(u)
+    assert np.isfinite(u).all()
+    # zero mean (the k=0 eigenvalue is zeroed)
+    np.testing.assert_allclose(u.mean(axis=(1, 2)), 0.0, atol=1e-4)
+    # energy concentrated at low frequencies: compare low vs high band power
+    spec = np.abs(np.fft.fft2(u, axes=(1, 2))) ** 2
+    low = spec[:, 1:4, 1:4].mean()
+    high = spec[:, 12:16, 12:16].mean()
+    assert low > 10 * high

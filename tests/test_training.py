@@ -1,0 +1,147 @@
+"""End-to-end training tests: synthetic data -> builders -> routines ->
+trainer, on CPU with tiny models. Mirrors the reference call stack
+(SURVEY.md §3.1) at toy scale."""
+
+import h5py
+import jax
+import numpy as np
+import optax
+import pytest
+
+from fourierflow_tpu.builders import NSMarkovBuilder, NSZongyiBuilder
+from fourierflow_tpu.builders.synthetic import (
+    gaussian_random_field,
+    solve_navier_stokes_2d,
+)
+from fourierflow_tpu.models import FNOFactorized2DBlock, FNOZongyi2DBlock
+from fourierflow_tpu.routines import Grid2DMarkovRoutine, Grid2DRolloutRoutine
+from fourierflow_tpu.routines.base import make_optimizer
+from fourierflow_tpu.schedulers import cosine_with_warmup
+from fourierflow_tpu.trainers import ModelCheckpoint, Trainer
+from fourierflow_tpu.trainers.callbacks import load_state, save_state
+
+
+@pytest.fixture(scope="module")
+def synthetic_dataset(tmp_path_factory):
+    """Generate a tiny torus NS dataset with the native solver and store
+    it as h5 (the torus_vis format)."""
+    key = jax.random.PRNGKey(0)
+    w0 = gaussian_random_field(key, 24, 16, n_dims=2, alpha=2.5, tau=7.0)
+    sol, _ = solve_navier_stokes_2d(
+        np.asarray(w0), 1e-3, t_end=2.0, delta_t=1e-2, record_steps=22, force="li"
+    )
+    path = tmp_path_factory.mktemp("data") / "ns_tiny.h5"
+    with h5py.File(path, "w") as f:
+        f.create_dataset("u", data=sol)
+    return str(path)
+
+
+def _markov_routine(lr=1e-3, noise_std=0.0, n_steps=5, **model_kwargs):
+    kwargs = dict(modes=5, width=8, input_dim=3, n_layers=2, factor=2, ff_weight_norm=True)
+    kwargs.update(model_kwargs)
+    model = FNOFactorized2DBlock(**kwargs)
+    opt = make_optimizer(
+        schedule=cosine_with_warmup(lr, 10, 500), weight_decay=1e-4, clip_val=0.1
+    )
+    return Grid2DMarkovRoutine(
+        model,
+        n_steps=n_steps,
+        max_accumulations=100,
+        noise_std=noise_std,
+        optimizer=opt,
+    )
+
+
+def test_markov_end_to_end(synthetic_dataset, tmp_path):
+    builder = NSMarkovBuilder(
+        synthetic_dataset, train_size=16, test_size=8, ssr=1, batch_size=8
+    )
+    routine = _markov_routine(lr=3e-3, noise_std=0.01)
+    ckpt = ModelCheckpoint(str(tmp_path / "ckpts"), monitor="valid_loss")
+    trainer = Trainer(max_epochs=4, callbacks=[ckpt], seed=0, data_parallel=False)
+    state = trainer.fit(routine, builder)
+
+    # epoch 0 accumulated normalizer stats
+    assert float(state.normalizer.count) > 0
+    assert "train_loss" in trainer.logs
+    assert "valid_loss" in trainer.logs
+    assert np.isfinite(trainer.logs["train_loss"])
+    assert trainer.logs["valid_time_until"] >= 0
+    assert ckpt.best_path is not None
+
+    # test split
+    logs = trainer.test(routine, builder, state)
+    assert np.isfinite(logs["test_loss"])
+    assert logs["test_correlations"].shape == (5,)
+
+
+def test_markov_loss_decreases(synthetic_dataset):
+    builder = NSMarkovBuilder(
+        synthetic_dataset, train_size=16, test_size=4, ssr=1, batch_size=8
+    )
+    routine = _markov_routine(lr=3e-3)
+    state = routine.init(jax.random.PRNGKey(0), builder.sample_batch())
+    # warm up normalizer
+    for batch in builder.train_batches():
+        state = routine.accumulate_step(state, batch)
+
+    train_step = jax.jit(routine.train_step)
+    losses = []
+    key = jax.random.PRNGKey(1)
+    for epoch in range(6):
+        for batch in builder.train_batches(np.random.default_rng(epoch)):
+            key, sub = jax.random.split(key)
+            state, metrics = train_step(state, batch, sub)
+            losses.append(float(metrics["train_loss"]))
+    assert np.mean(losses[-10:]) < 0.8 * np.mean(losses[:10])
+
+
+def test_rollout_end_to_end(synthetic_dataset):
+    builder = NSZongyiBuilder(
+        synthetic_dataset, train_size=16, test_size=8, ssr=1, n_steps=5, batch_size=8
+    )
+    model = FNOZongyi2DBlock(modes1=4, modes2=4, width=8, input_dim=7, n_layers=2)
+    routine = Grid2DRolloutRoutine(
+        model, n_steps=5, optimizer=make_optimizer(lr=1e-3, weight_decay=1e-4)
+    )
+    trainer = Trainer(max_epochs=2, seed=0, data_parallel=False)
+    state = trainer.fit(routine, builder)
+    assert np.isfinite(trainer.logs["train_loss"])
+    assert np.isfinite(trainer.logs["valid_loss"])
+
+
+def test_checkpoint_roundtrip(synthetic_dataset, tmp_path):
+    builder = NSMarkovBuilder(
+        synthetic_dataset, train_size=8, test_size=4, ssr=1, batch_size=4
+    )
+    routine = _markov_routine()
+    state = routine.init(jax.random.PRNGKey(0), builder.sample_batch())
+    for batch in builder.train_batches():
+        state = routine.accumulate_step(state, batch)
+
+    path = str(tmp_path / "state.ckpt")
+    save_state(path, state)
+    template = routine.init(jax.random.PRNGKey(7), builder.sample_batch())
+    restored = load_state(path, template)
+
+    batch = builder.sample_batch()
+    m1 = routine.valid_step(state, {k: v for k, v in builder.valid_data.items()})
+    m2 = routine.valid_step(restored, {k: v for k, v in builder.valid_data.items()})
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+
+
+def test_data_parallel_training(synthetic_dataset):
+    """Batch-sharded training over the 8 virtual CPU devices must match
+    single-device results (same data, same init)."""
+    from fourierflow_tpu.parallel import make_mesh
+
+    builder = NSMarkovBuilder(
+        synthetic_dataset, train_size=16, test_size=8, ssr=1, batch_size=8
+    )
+    results = {}
+    for name, mesh in [("single", None), ("dp", make_mesh())]:
+        routine = _markov_routine()
+        trainer = Trainer(max_epochs=2, seed=0, mesh=mesh, data_parallel=mesh is not None)
+        state = trainer.fit(routine, builder)
+        results[name] = trainer.logs["valid_loss"]
+    np.testing.assert_allclose(results["single"], results["dp"], rtol=1e-4)
