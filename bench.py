@@ -52,29 +52,38 @@ def main():
             schedule=cosine_with_warmup(0.0025, 500, 100000), weight_decay=1e-4
         ),
     )
-    rng = np.random.RandomState(0)
-    batch_data = {
-        "x": jnp.asarray(rng.randn(batch, n, n, 1).astype(np.float32)),
-        "y": jnp.asarray(rng.randn(batch, n, n, 1).astype(np.float32)),
-    }
-    state = routine.init(jax.random.PRNGKey(0), batch_data)
-    state = routine.accumulate_step(state, batch_data)
+    from fourierflow_tpu.trainers.trainer import make_scan_epoch
 
-    train_step = jax.jit(routine.train_step, donate_argnums=(0,))
+    # Device-resident dataset, the size of one real epoch shard; batches are
+    # gathered and shuffled on device (the production fast loop).
+    n_samples = 950  # ~ one torus_li epoch: 1000 trajs x 18 pairs / 19 batch
+    rng = np.random.RandomState(0)
+    data = {
+        "x": jnp.asarray(rng.randn(n_samples, n, n, 1).astype(np.float32)),
+        "y": jnp.asarray(rng.randn(n_samples, n, n, 1).astype(np.float32)),
+    }
+    sample = {k: v[:batch] for k, v in data.items()}
+    state = routine.init(jax.random.PRNGKey(0), sample)
+    state = routine.accumulate_step(state, sample)
+
+    train_epoch = make_scan_epoch(routine, batch, accumulate=False)
+    n_batches = n_samples // batch
     key = jax.random.PRNGKey(1)
 
-    # warmup/compile
-    for i in range(3):
-        state, metrics = train_step(state, batch_data, jax.random.fold_in(key, i))
-    jax.block_until_ready(metrics["train_loss"])
+    # warmup/compile (also warms the D2H transfer path)
+    state, metrics = train_epoch(state, data, jax.random.fold_in(key, 0))
+    _ = float(metrics["train_loss"])
 
-    n_iters = 50
+    # NOTE: on the axon relay backend block_until_ready() returns before
+    # compute finishes; only an actual value transfer guarantees
+    # completion, so the timed region ends with float().
+    n_epochs = 3
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        state, metrics = train_step(state, batch_data, jax.random.fold_in(key, 100 + i))
-    jax.block_until_ready(metrics["train_loss"])
+    for i in range(1, n_epochs + 1):
+        state, metrics = train_epoch(state, data, jax.random.fold_in(key, i))
+    _ = float(metrics["train_loss"])
     elapsed = time.perf_counter() - t0
-    steps_per_sec = n_iters / elapsed
+    steps_per_sec = n_epochs * n_batches / elapsed
 
     print(
         json.dumps(

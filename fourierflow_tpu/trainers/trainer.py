@@ -13,6 +13,7 @@ import time
 from typing import Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..parallel.mesh import make_mesh, shard_batch
@@ -21,6 +22,38 @@ from ..routines.base import Routine, TrainState
 logger = logging.getLogger(__name__)
 
 __all__ = ["Trainer"]
+
+
+def make_scan_epoch(routine: Routine, batch_size: int, accumulate: bool = False):
+    """Build a jitted whole-epoch function: ``lax.scan`` over on-device
+    shuffled batches of a device-resident dataset.
+
+    TPU-native fast path: one XLA dispatch per epoch, zero per-batch
+    host<->device traffic (the relay's per-transfer latency otherwise
+    dwarfs the ~ms step compute — see memory notes). Batches are gathered
+    from the full dataset with a permutation computed on device; the
+    trailing partial batch is dropped (fixed shapes, no retraces).
+    """
+
+    def epoch_fn(state, data, key):
+        n = len(next(iter(data.values())))
+        n_batches = n // batch_size
+        kperm, kstep = jax.random.split(key)
+        perm = jax.random.permutation(kperm, n)[: n_batches * batch_size]
+        perm = perm.reshape(n_batches, batch_size)
+
+        def body(state, idx):
+            batch = {k: v[idx] for k, v in data.items()}
+            if accumulate:
+                return routine.accumulate_step(state, batch), {}
+            step_key = jax.random.fold_in(kstep, state.step)
+            return routine.train_step(state, batch, step_key)
+
+        state, metrics = jax.lax.scan(body, state, perm)
+        mean_metrics = {k: jnp.mean(v) for k, v in metrics.items()}
+        return state, mean_metrics
+
+    return jax.jit(epoch_fn, donate_argnums=(0,))
 
 
 def _weighted_merge(metric_list):
@@ -47,6 +80,7 @@ class Trainer:
         log_every_n_steps: int = 100,
         check_val_every_n_epoch: int = 1,
         mesh=None,
+        fast_loop: bool = True,
     ):
         self.max_epochs = max_epochs
         self.limit_train_batches = limit_train_batches
@@ -55,6 +89,7 @@ class Trainer:
         self.seed = seed
         self.log_every_n_steps = log_every_n_steps
         self.check_val_every_n_epoch = check_val_every_n_epoch
+        self.fast_loop = fast_loop
         self.mesh = mesh
         if mesh is None and data_parallel and len(jax.devices()) > 1:
             self.mesh = make_mesh()
@@ -84,29 +119,52 @@ class Trainer:
         logger.info("n_params = %d", routine.n_params(state))
         self.logs["n_params"] = routine.n_params(state)
 
-        train_step = jax.jit(routine.train_step, donate_argnums=(0,))
-        acc_step = jax.jit(routine.accumulate_step, donate_argnums=(0,))
-
         self._hook("on_fit_start", routine, state)
         normalizes = getattr(routine, "should_normalize", False)
+
+        use_fast = (
+            self.fast_loop
+            and self.mesh is None
+            and self.limit_train_batches is None
+            and hasattr(builder, "train_data")
+        )
+        if use_fast:
+            # Device-resident dataset + one jitted scan per epoch.
+            device_data = {k: jnp.asarray(v) for k, v in builder.train_data.items()}
+            train_epoch = make_scan_epoch(routine, builder.batch_size, accumulate=False)
+            acc_epoch = make_scan_epoch(routine, builder.batch_size, accumulate=True)
+        else:
+            train_step = jax.jit(routine.train_step, donate_argnums=(0,))
+            acc_step = jax.jit(routine.accumulate_step, donate_argnums=(0,))
 
         for epoch in range(self.max_epochs):
             self.current_epoch = epoch
             t0 = time.time()
             train_metrics = []
-            for i, batch in enumerate(builder.train_batches(rng)):
-                if self.limit_train_batches and i >= self.limit_train_batches:
-                    break
-                batch = self._put(batch)
+            epoch_key = jax.random.fold_in(base_key, epoch)
+
+            if use_fast:
                 if epoch == 0 and normalizes:
-                    # Epoch 0 only gathers normalizer statistics
-                    # (grid_2d_markov.py:374-390).
-                    state = acc_step(state, batch)
+                    state, _ = acc_epoch(state, device_data, epoch_key)
                 else:
-                    step_key = jax.random.fold_in(base_key, self.global_step)
-                    state, metrics = train_step(state, batch, step_key)
-                    self.global_step += 1
-                    train_metrics.append((metrics, len(next(iter(batch.values())))))
+                    state, metrics = train_epoch(state, device_data, epoch_key)
+                    n_b = len(next(iter(device_data.values()))) // builder.batch_size
+                    self.global_step += n_b
+                    self.logs.update({k: float(v) for k, v in metrics.items()})
+            else:
+                for i, batch in enumerate(builder.train_batches(rng)):
+                    if self.limit_train_batches and i >= self.limit_train_batches:
+                        break
+                    batch = self._put(batch)
+                    if epoch == 0 and normalizes:
+                        # Epoch 0 only gathers normalizer statistics
+                        # (grid_2d_markov.py:374-390).
+                        state = acc_step(state, batch)
+                    else:
+                        step_key = jax.random.fold_in(base_key, self.global_step)
+                        state, metrics = train_step(state, batch, step_key)
+                        self.global_step += 1
+                        train_metrics.append((metrics, len(next(iter(batch.values())))))
 
             if train_metrics:
                 merged = _weighted_merge(

@@ -141,7 +141,25 @@ def test_data_parallel_training(synthetic_dataset):
     results = {}
     for name, mesh in [("single", None), ("dp", make_mesh())]:
         routine = _markov_routine()
-        trainer = Trainer(max_epochs=2, seed=0, mesh=mesh, data_parallel=mesh is not None)
+        trainer = Trainer(
+            max_epochs=2, seed=0, mesh=mesh, data_parallel=mesh is not None, fast_loop=False
+        )
         state = trainer.fit(routine, builder)
         results[name] = trainer.logs["valid_loss"]
     np.testing.assert_allclose(results["single"], results["dp"], rtol=1e-4)
+
+
+def test_fast_loop_matches_host_loop_learning(synthetic_dataset):
+    """The scanned device-resident epoch must train as well as the host
+    loop (not bitwise — different shuffle RNG — but to similar loss)."""
+    builder = NSMarkovBuilder(
+        synthetic_dataset, train_size=16, test_size=8, ssr=1, batch_size=8
+    )
+    losses = {}
+    for name, fast in [("host", False), ("fast", True)]:
+        routine = _markov_routine(lr=3e-3)
+        trainer = Trainer(max_epochs=6, seed=0, data_parallel=False, fast_loop=fast)
+        trainer.fit(routine, builder)
+        losses[name] = trainer.logs["train_loss"]
+    assert np.isfinite(losses["fast"])
+    assert abs(losses["fast"] - losses["host"]) < 0.5 * max(losses.values())
