@@ -1,0 +1,101 @@
+"""CLI entry point: ``python -m fourierflow_tpu.commands <cmd> ...``.
+
+Equivalent of the reference's typer app
+(reference:fourierflow/commands/__main__.py): train / test / predict /
+generate / infer, built on argparse (typer is not vendored here).
+"""
+
+import argparse
+import logging
+import sys
+
+
+def _add_common(p):
+    p.add_argument("config_path", help="experiment config YAML")
+    p.add_argument("overrides", nargs="*", help="dotted-path overrides key=value")
+    p.add_argument("--trial", type=int, default=0)
+
+
+def main(argv=None):
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s %(levelname)s %(name)s: %(message)s"
+    )
+    parser = argparse.ArgumentParser(prog="fourierflow_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_train = sub.add_parser("train", help="train an experiment config")
+    _add_common(p_train)
+    p_train.add_argument("--checkpoint-path", default=None)
+    p_train.add_argument("--no-test", action="store_true")
+
+    p_test = sub.add_parser("test", help="evaluate a checkpoint")
+    _add_common(p_test)
+    p_test.add_argument("--checkpoint-path", required=True)
+
+    p_predict = sub.add_parser("predict", help="inference timing benchmark")
+    _add_common(p_predict)
+    p_predict.add_argument("--checkpoint-path", default=None)
+
+    p_gen = sub.add_parser("generate", help="generate datasets")
+    gen_sub = p_gen.add_subparsers(dest="generator", required=True)
+    p_ns = gen_sub.add_parser("navier-stokes")
+    p_ns.add_argument("path")
+    for name, typ, default in [
+        ("n-train", int, 1000), ("n-valid", int, 200), ("n-test", int, 200),
+        ("s", int, 256), ("t", float, 20.0), ("steps", int, 20),
+        ("mu", float, 1e-5), ("mu-min", float, 1e-5), ("mu-max", float, 1e-5),
+        ("seed", int, 23893), ("delta", float, 1e-4), ("batch-size", int, 50),
+        ("force", str, "li"), ("cycles", int, 2), ("scaling", float, 0.1),
+        ("t-scaling", float, 0.2),
+    ]:
+        p_ns.add_argument(f"--{name}", type=typ, default=default)
+    p_ns.add_argument("--varying-force", action="store_true")
+
+    args = parser.parse_args(argv)
+
+    if args.command == "train":
+        from .train import main as train_main
+
+        train_main(
+            args.config_path,
+            overrides=args.overrides,
+            trial=args.trial,
+            checkpoint_path=args.checkpoint_path,
+            no_test=args.no_test,
+        )
+    elif args.command == "test":
+        from .test import main as test_main
+
+        test_main(args.config_path, args.checkpoint_path, overrides=args.overrides, trial=args.trial)
+    elif args.command == "predict":
+        from .predict import main as predict_main
+
+        predict_main(args.config_path, args.checkpoint_path, overrides=args.overrides)
+    elif args.command == "generate":
+        if args.generator == "navier-stokes":
+            from .generate import navier_stokes
+
+            navier_stokes(
+                args.path,
+                n_train=args.n_train,
+                n_valid=args.n_valid,
+                n_test=args.n_test,
+                s=args.s,
+                t=args.t,
+                steps=args.steps,
+                mu=args.mu,
+                mu_min=args.mu_min,
+                mu_max=args.mu_max,
+                seed=args.seed,
+                delta=args.delta,
+                batch_size=args.batch_size,
+                force=args.force,
+                cycles=args.cycles,
+                scaling=args.scaling,
+                t_scaling=args.t_scaling,
+                varying_force=args.varying_force,
+            )
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,26 @@
+"""``test`` command: evaluate a saved checkpoint on the test split
+(reference:fourierflow/commands/test.py:23-96)."""
+
+import logging
+
+import jax
+import numpy as np
+
+from ..config import instantiate, load_config
+from ..trainers.callbacks import load_state
+from .train import build_routine, build_trainer
+
+logger = logging.getLogger(__name__)
+
+
+def main(config_path, checkpoint_path, overrides=None, trial: int = 0):
+    cfg = load_config(config_path, overrides)
+    seed = 7231 + trial
+    builder = instantiate(cfg["builder"])
+    routine = build_routine(cfg["routine"], builder)
+    template = routine.init(jax.random.PRNGKey(seed), builder.sample_batch())
+    state = load_state(checkpoint_path, template)
+    trainer = build_trainer(cfg.get("trainer"))
+    logs = trainer.test(routine, builder, state)
+    logger.info("test logs: %s", {k: v for k, v in logs.items() if np.ndim(v) == 0})
+    return logs

@@ -1,0 +1,119 @@
+"""``train`` command: config-driven experiment runner.
+
+TPU-native equivalent of reference:fourierflow/commands/train.py:26-148:
+loads an experiment YAML (the reference Hydra schema: wandb / builder /
+routine / trainer / callbacks), seeds with 7231+trial, trains, tests with
+the best checkpoint, and measures inference time.
+"""
+
+import logging
+import os
+import time
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+from ..config import instantiate, load_config
+from ..routines.base import make_optimizer
+from ..trainers import JSONLogger, ModelCheckpoint, Trainer
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["build_routine", "build_trainer", "main"]
+
+
+def build_routine(routine_cfg: dict, builder=None):
+    """Construct a routine from a reference-schema config node, adapting
+    torch optimizer/scheduler configs to optax
+    (reference routines/base.py:67-77)."""
+    cfg = dict(routine_cfg)
+    opt_partial = instantiate(cfg.pop("optimizer", None))
+    sch_cfg = cfg.pop("scheduler", None)
+
+    opt_info = opt_partial() if callable(opt_partial) else {"kind": "adamw", "lr": 1e-3}
+    lr = opt_info.get("lr", 1e-3)
+    weight_decay = opt_info.get("weight_decay", 0.0)
+
+    schedule = None
+    if sch_cfg is not None:
+        node = sch_cfg.get("scheduler", sch_cfg) if isinstance(sch_cfg, dict) else sch_cfg
+        sch_partial = instantiate(node)
+        if callable(sch_partial):
+            kwargs = {}
+            if sch_cfg.get("interval") == "epoch" and builder is not None:
+                kwargs["steps_per_epoch"] = builder.batches_per_epoch
+            try:
+                schedule = sch_partial(lr=lr, **kwargs)
+            except TypeError:
+                schedule = sch_partial(lr)
+
+    optimizer = make_optimizer(
+        lr=lr,
+        weight_decay=weight_decay,
+        schedule=schedule,
+        clip_val=cfg.pop("clip_val", None),
+        accumulate_grad_batches=cfg.pop("accumulate_grad_batches", 1),
+    )
+    return instantiate(cfg, optimizer=optimizer)
+
+
+def build_trainer(trainer_cfg: dict, callbacks=()):
+    cfg = dict(trainer_cfg or {})
+    limit = cfg.get("limit_train_batches")
+    if isinstance(limit, float):
+        limit = None if limit >= 1.0 else max(1, int(limit))
+    return Trainer(
+        max_epochs=cfg.get("max_epochs", 1),
+        limit_train_batches=limit,
+        limit_val_batches=cfg.get("limit_val_batches"),
+        log_every_n_steps=cfg.get("log_every_n_steps", 100),
+        check_val_every_n_epoch=cfg.get("check_val_every_n_epoch", 1),
+        callbacks=list(callbacks),
+    )
+
+
+def main(
+    config_path: str,
+    overrides: Optional[List[str]] = None,
+    trial: int = 0,
+    checkpoint_path: Optional[str] = None,
+    no_test: bool = False,
+):
+    cfg = load_config(config_path, overrides)
+    seed = 7231 + trial  # reference commands/train.py:56-58
+    np.random.seed(seed)
+
+    builder = instantiate(cfg["builder"])
+    routine = build_routine(cfg["routine"], builder)
+
+    config_dir = os.path.dirname(os.path.abspath(config_path))
+    run_dir = os.path.join(config_dir, "checkpoints", f"trial-{trial}-{int(time.time())}")
+
+    callbacks = instantiate(cfg.get("callbacks", [])) or []
+    has_ckpt = False
+    for cb in callbacks:
+        if isinstance(cb, ModelCheckpoint):
+            cb.dirpath = run_dir
+            has_ckpt = True
+    if not has_ckpt:
+        callbacks.append(ModelCheckpoint(run_dir))
+    callbacks.append(JSONLogger(os.path.join(run_dir, "metrics.jsonl")))
+
+    trainer = build_trainer(cfg.get("trainer"), callbacks)
+    trainer.seed = seed
+
+    state = None
+    if checkpoint_path:
+        from ..trainers.callbacks import load_state
+
+        template = routine.init(jax.random.PRNGKey(seed), builder.sample_batch())
+        state = load_state(checkpoint_path, template)
+
+    state = trainer.fit(routine, builder, state=state)
+
+    if not no_test:
+        logs = trainer.test(routine, builder, state)
+        logger.info("test logs: %s", {k: v for k, v in logs.items() if np.ndim(v) == 0})
+
+    return trainer, state

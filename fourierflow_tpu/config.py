@@ -1,0 +1,199 @@
+"""Config system: YAML + ``_target_`` instantiation, compatible with the
+reference's Hydra-based experiment schema.
+
+The reference wires everything from YAML via hydra.utils.instantiate with
+OmegaConf resolvers (reference:fourierflow/__init__.py:20-24,
+commands/train.py:38-41). This is a dependency-light reimplementation that
+accepts the reference's config files nearly unchanged:
+
+- ``${oc.env:VAR}`` / ``${oc.env:VAR,default}`` env interpolation
+- ``${eval: expr}`` arithmetic (math namespace)
+- ``${import: dotted.path}`` constants
+- ``${get_method: dotted.path}`` callables
+- ``_target_`` class/function instantiation with recursive kwargs,
+  ``_args_`` positionals, and ``functools.partial`` support
+- dotted-path CLI overrides (``routine.conv.n_layers=8``)
+
+Reference ``_target_`` names (``fourierflow.*``, ``torch.optim.*``,
+lightning callbacks) are translated to their TPU-native equivalents via
+``TARGET_TRANSLATION``.
+"""
+
+import ast
+import importlib
+import math
+import os
+import re
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+__all__ = ["load_config", "instantiate", "import_string", "apply_overrides"]
+
+
+TARGET_TRANSLATION = {
+    # builders
+    "fourierflow.builders.NSMarkovBuilder": "fourierflow_tpu.builders.NSMarkovBuilder",
+    "fourierflow.builders.NSZongyiBuilder": "fourierflow_tpu.builders.NSZongyiBuilder",
+    "fourierflow.builders.NSContextualBuilder": "fourierflow_tpu.builders.NSContextualBuilder",
+    "fourierflow.builders.KolmogorovBuilder": "fourierflow_tpu.builders.KolmogorovBuilder",
+    "fourierflow.builders.ElasticityBuilder": "fourierflow_tpu.builders.ElasticityBuilder",
+    "fourierflow.builders.StructuredMesh2DBuilder": "fourierflow_tpu.builders.StructuredMesh2DBuilder",
+    "fourierflow.builders.PlasticityBuilder": "fourierflow_tpu.builders.PlasticityBuilder",
+    # models
+    "fourierflow.modules.FNOFactorized2DBlock": "fourierflow_tpu.models.FNOFactorized2DBlock",
+    "fourierflow.modules.FNOZongyi2DBlock": "fourierflow_tpu.models.FNOZongyi2DBlock",
+    "fourierflow.modules.FNOFactorizedMesh2D": "fourierflow_tpu.models.FNOFactorizedMesh2D",
+    "fourierflow.modules.FNOFactorizedMesh3D": "fourierflow_tpu.models.FNOFactorizedMesh3D",
+    "fourierflow.modules.FNOFactorizedPointCloud2D": "fourierflow_tpu.models.FNOFactorizedPointCloud2D",
+    "fourierflow.modules.CNOFactorized2DBlock": "fourierflow_tpu.models.CNOFactorized2DBlock",
+    "fourierflow.modules.FNOPlus2DBlock": "fourierflow_tpu.models.FNOPlus2DBlock",
+    "fourierflow.modules.IPhi": "fourierflow_tpu.models.IPhi",
+    # routines
+    "fourierflow.routines.Grid2DMarkovExperiment": "fourierflow_tpu.routines.Grid2DMarkovRoutine",
+    "fourierflow.routines.Grid2DRolloutExperiment": "fourierflow_tpu.routines.Grid2DRolloutRoutine",
+    "fourierflow.routines.PointCloudExperiment": "fourierflow_tpu.routines.PointCloudRoutine",
+    "fourierflow.routines.StructuredMeshExperiment": "fourierflow_tpu.routines.StructuredMeshRoutine",
+    # optimizers / schedulers (adapted, see commands/train.py)
+    "torch.optim.AdamW": "fourierflow_tpu.config._adamw_config",
+    "torch.optim.Adam": "fourierflow_tpu.config._adam_config",
+    "fourierflow.schedulers.CosineWithWarmupScheduler": "fourierflow_tpu.schedulers.cosine_with_warmup",
+    "fourierflow.schedulers.LinearWithWarmupScheduler": "fourierflow_tpu.schedulers.linear_with_warmup",
+    "fourierflow.schedulers.ExponentialWithWarmupScheduler": "fourierflow_tpu.schedulers.exponential_with_warmup",
+    "torch.optim.lr_scheduler.StepLR": "fourierflow_tpu.schedulers.step_lr",
+    # callbacks
+    "fourierflow.callbacks.CustomModelCheckpoint": "fourierflow_tpu.trainers.ModelCheckpoint",
+    # lightning-only callbacks: dropped at instantiation
+    "pytorch_lightning.callbacks.LearningRateMonitor": None,
+    "pytorch_lightning.callbacks.ModelSummary": None,
+}
+
+
+def _adamw_config(lr=1e-3, weight_decay=1e-4, **kw):
+    """Marker carrying AdamW hyperparams; resolved together with the
+    scheduler in commands/train.py."""
+    return {"kind": "adamw", "lr": lr, "weight_decay": weight_decay, **kw}
+
+
+def _adam_config(lr=1e-3, **kw):
+    return {"kind": "adam", "lr": lr, **kw}
+
+
+def import_string(path: str):
+    """Import ``pkg.mod.attr`` (reference:fourierflow/utils/path.py)."""
+    module_path, _, attr = path.rpartition(".")
+    if not module_path:
+        raise ImportError(f"cannot import {path!r}")
+    module = importlib.import_module(module_path)
+    return getattr(module, attr)
+
+
+_EVAL_NS = {"pi": math.pi, "e": math.e, "math": math}
+_INTERP_RE = re.compile(r"\$\{([^{}]+)\}")
+
+
+def _resolve_value(expr: str) -> Any:
+    expr = expr.strip()
+    if expr.startswith("oc.env:"):
+        body = expr[len("oc.env:") :]
+        if "," in body:
+            var, default = body.split(",", 1)
+            return os.environ.get(var.strip(), default.strip())
+        val = os.environ.get(body.strip())
+        if val is None:
+            raise KeyError(f"environment variable {body!r} not set")
+        return val
+    if expr.startswith("eval:"):
+        return eval(expr[len("eval:") :], {"__builtins__": {}}, dict(_EVAL_NS))
+    if expr.startswith("import:"):
+        return import_string(expr[len("import:") :].strip())
+    if expr.startswith("get_method:"):
+        return expr  # kept symbolic; resolved at instantiation
+    raise ValueError(f"unknown resolver in ${{{expr}}}")
+
+
+def _interpolate(obj: Any) -> Any:
+    if isinstance(obj, str):
+        m = _INTERP_RE.fullmatch(obj.strip())
+        if m:
+            return _resolve_value(m.group(1))
+
+        def sub(match):
+            return str(_resolve_value(match.group(1)))
+
+        return _INTERP_RE.sub(sub, obj)
+    if isinstance(obj, dict):
+        return {k: _interpolate(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_interpolate(v) for v in obj]
+    return obj
+
+
+def apply_overrides(cfg: Dict, overrides: List[str]) -> Dict:
+    for ov in overrides or []:
+        key, _, raw = ov.partition("=")
+        try:
+            value = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            value = raw
+        node = cfg
+        parts = key.strip().split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return cfg
+
+
+def load_config(path: str, overrides: Optional[List[str]] = None) -> Dict:
+    with open(path) as f:
+        cfg = yaml.safe_load(f)
+    cfg = apply_overrides(cfg, overrides or [])
+    return _interpolate(cfg)
+
+
+def _translate(target: str) -> Optional[str]:
+    if target in TARGET_TRANSLATION:
+        return TARGET_TRANSLATION[target]
+    return target
+
+
+def resolve_symbol(path: str):
+    """Import a callable, first translating reference names (so e.g.
+    ``torch.optim.AdamW`` resolves to the optax adapter)."""
+    path = _translate(path)
+    if path is None:
+        return None
+    return import_string(path)
+
+
+def instantiate(cfg: Any, **extra_kwargs):
+    """Recursively instantiate a ``_target_`` config node."""
+    if isinstance(cfg, list):
+        out = [instantiate(c) for c in cfg]
+        return [o for o in out if o is not None]
+    if not isinstance(cfg, dict):
+        if isinstance(cfg, str) and cfg.startswith("get_method:"):
+            return resolve_symbol(cfg[len("get_method:") :].strip())
+        return cfg
+    if "_target_" not in cfg:
+        return {k: instantiate(v) for k, v in cfg.items()}
+
+    target = _translate(cfg["_target_"])
+    if target is None:
+        return None
+
+    args = [instantiate(a) for a in cfg.get("_args_", [])]
+    kwargs = {
+        k: instantiate(v)
+        for k, v in cfg.items()
+        if k not in ("_target_", "_args_")
+    }
+    kwargs.update(extra_kwargs)
+
+    if target == "functools.partial":
+        fn = args[0]
+        return partial(fn, *args[1:], **kwargs)
+
+    cls = import_string(target) if isinstance(target, str) else target
+    return cls(*args, **kwargs)

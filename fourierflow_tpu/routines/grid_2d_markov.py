@@ -34,7 +34,7 @@ TWO_PI = 2.0 * math.pi
 class Grid2DMarkovRoutine(Routine):
     def __init__(
         self,
-        model,
+        model=None,
         n_steps: Optional[int] = None,
         num_freq_bands: int = 8,
         freq_base: float = 2.0,
@@ -53,10 +53,13 @@ class Grid2DMarkovRoutine(Routine):
         k_max: int = 32,
         domain=((0, TWO_PI), (0, TWO_PI)),
         optimizer=None,
+        conv=None,
         **kwargs,
     ):
         super().__init__(optimizer=optimizer)
-        self.model = model
+        # `conv` is the reference's name for the model argument
+        # (grid_2d_markov.py:24-25).
+        self.model = model if model is not None else conv
         self.n_steps = n_steps
         self.num_freq_bands = num_freq_bands
         self.freq_base = freq_base

@@ -20,8 +20,8 @@ __all__ = ["Grid2DRolloutRoutine"]
 class Grid2DRolloutRoutine(Routine):
     def __init__(
         self,
-        model,
-        n_steps: int,
+        model=None,
+        n_steps: int = 10,
         k_max: int = 32,
         num_freq_bands: int = 8,
         freq_base: float = 2.0,
@@ -30,10 +30,11 @@ class Grid2DRolloutRoutine(Routine):
         teacher_forcing: bool = False,
         step_size: float = 1.0,
         optimizer=None,
+        conv=None,
         **kwargs,
     ):
         super().__init__(optimizer=optimizer)
-        self.model = model
+        self.model = model if model is not None else conv
         self.n_steps = n_steps
         self.k_max = k_max
         self.num_freq_bands = num_freq_bands

@@ -59,12 +59,17 @@ class ModelCheckpoint(Callback):
 
     def __init__(
         self,
-        dirpath: str,
+        dirpath: Optional[str] = None,
         monitor: Optional[str] = None,
         mode: str = "min",
         filename: str = "best.ckpt",
         save_last: bool = True,
+        **_ignored_lightning_kwargs,
     ):
+        # Unknown kwargs (save_top_k, every_n_epochs, ...) come from
+        # reference Lightning configs and are accepted for compatibility.
+        if "{" in filename:  # lightning filename templates
+            filename = "best.ckpt"
         self.dirpath = dirpath
         self.monitor = monitor
         self.mode = mode
@@ -74,6 +79,8 @@ class ModelCheckpoint(Callback):
         self.best_path = None
 
     def on_epoch_end(self, trainer, routine, state):
+        if self.dirpath is None:
+            return
         if self.save_last:
             save_state(os.path.join(self.dirpath, "last.ckpt"), state)
         if self.monitor is None:

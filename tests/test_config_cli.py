@@ -1,0 +1,124 @@
+"""Config system + CLI tests, including loading the REFERENCE repo's own
+experiment YAMLs through the translation table."""
+
+import os
+
+import h5py
+import jax
+import numpy as np
+import pytest
+import yaml
+
+from fourierflow_tpu.config import apply_overrides, instantiate, load_config
+from fourierflow_tpu.models import FNOFactorized2DBlock
+from fourierflow_tpu.commands.train import build_routine
+
+REF = "/root/reference/experiments"
+
+
+def test_resolvers(tmp_path, monkeypatch):
+    monkeypatch.setenv("MY_ROOT", "/data/root")
+    p = tmp_path / "c.yaml"
+    p.write_text(
+        "a: ${oc.env:MY_ROOT}/x\n"
+        'b: "${eval: 2 * pi}"\n'
+        'c: "${oc.env:NOPE,fallback}"\n'
+        "d:\n  nested: 3\n"
+    )
+    cfg = load_config(str(p), overrides=["d.nested=7", "d.new=hi"])
+    assert cfg["a"] == "/data/root/x"
+    assert abs(cfg["b"] - 2 * np.pi) < 1e-9
+    assert cfg["c"] == "fallback"
+    assert cfg["d"]["nested"] == 7
+    assert cfg["d"]["new"] == "hi"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+def test_reference_flagship_config_loads(monkeypatch):
+    """The reference's own flagship YAML instantiates through the
+    translation table (model + adapted optimizer/scheduler)."""
+    monkeypatch.setenv("DATA_ROOT", "/nonexistent")
+    cfg = load_config(f"{REF}/torus_li/markov/24_layers/config.yaml")
+    model = instantiate(cfg["routine"]["conv"])
+    assert isinstance(model, FNOFactorized2DBlock)
+    assert model.n_layers == 24 and model.modes == 16 and model.share_weight
+
+    routine_cfg = dict(cfg["routine"])
+    routine_cfg["conv"] = {
+        "_target_": "fourierflow_tpu.models.FNOFactorized2DBlock",
+        "modes": 4, "width": 8, "input_dim": 3, "n_layers": 2,
+    }
+    routine = build_routine(routine_cfg)
+    assert routine.noise_std == 0.01
+    assert routine.n_steps == 10
+    # the adapted optimizer trains
+    x = jax.numpy.ones((2, 16, 16, 1))
+    state = routine.init(jax.random.PRNGKey(0), {"x": x})
+    state, m = jax.jit(routine.train_step)(state, {"x": x, "y": x}, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["train_loss"]))
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+def test_reference_zongyi_config_loads(monkeypatch):
+    monkeypatch.setenv("DATA_ROOT", "/nonexistent")
+    cfg = load_config(f"{REF}/torus_li/zongyi/4_layers/config.yaml")
+    model = instantiate(cfg["routine"]["conv"])
+    assert model.modes1 == 12 and model.width == 20
+
+
+def test_cli_generate_and_train_end_to_end(tmp_path):
+    """Full CLI flow: generate a tiny dataset, then train from a config."""
+    from fourierflow_tpu.commands.__main__ import main as cli
+
+    data_path = str(tmp_path / "ns.h5")
+    cli([
+        "generate", "navier-stokes", data_path,
+        "--n-train", "8", "--n-valid", "4", "--n-test", "4",
+        "--s", "16", "--t", "0.5", "--steps", "12", "--delta", "0.01",
+        "--mu", "0.001", "--batch-size", "8",
+    ])
+    with h5py.File(data_path) as f:
+        assert f["train/u"].shape == (8, 16, 16, 12)
+        assert np.isfinite(f["train/u"][...]).all()
+
+    # merge the three splits into one array for the simple markov builder
+    with h5py.File(data_path) as f:
+        u = np.concatenate([f["train/u"][...], f["test/u"][...]], axis=0)
+    flat = str(tmp_path / "ns_flat.h5")
+    with h5py.File(flat, "w") as f:
+        f.create_dataset("u", data=u)
+
+    cfg = {
+        "builder": {
+            "_target_": "fourierflow_tpu.builders.NSMarkovBuilder",
+            "data_path": flat,
+            "train_size": 8, "test_size": 4, "ssr": 1, "batch_size": 4,
+        },
+        "routine": {
+            "_target_": "fourierflow_tpu.routines.Grid2DMarkovRoutine",
+            "conv": {
+                "_target_": "fourierflow_tpu.models.FNOFactorized2DBlock",
+                "modes": 4, "width": 8, "input_dim": 3, "n_layers": 2,
+            },
+            "n_steps": 4,
+            "max_accumulations": 100,
+            "optimizer": {
+                "_target_": "functools.partial",
+                "_args_": ["${get_method: torch.optim.AdamW}"],
+                "lr": 0.001, "weight_decay": 0.0001,
+            },
+        },
+        "trainer": {"max_epochs": 2},
+    }
+    cfg_path = str(tmp_path / "exp" / "config.yaml")
+    os.makedirs(os.path.dirname(cfg_path))
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    cli(["train", cfg_path])
+
+    ckpt_root = os.path.join(tmp_path, "exp", "checkpoints")
+    trials = os.listdir(ckpt_root)
+    assert len(trials) == 1
+    files = os.listdir(os.path.join(ckpt_root, trials[0]))
+    assert "best.ckpt" in files and "metrics.jsonl" in files
