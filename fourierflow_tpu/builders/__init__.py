@@ -1,11 +1,19 @@
 from .base import Builder, iterate_batches, load_array
+from .elasticity import ElasticityBuilder
+from .ns_contextual import NSContextualBuilder
 from .ns_markov import NSMarkovBuilder
 from .ns_zongyi import NSZongyiBuilder
+from .plasticity import PlasticityBuilder
+from .structured_mesh_2d import StructuredMesh2DBuilder
 
 __all__ = [
     "Builder",
     "iterate_batches",
     "load_array",
+    "ElasticityBuilder",
+    "NSContextualBuilder",
     "NSMarkovBuilder",
     "NSZongyiBuilder",
+    "PlasticityBuilder",
+    "StructuredMesh2DBuilder",
 ]

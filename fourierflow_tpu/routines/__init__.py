@@ -1,6 +1,8 @@
 from .base import Routine, TrainState, make_optimizer
 from .grid_2d_markov import Grid2DMarkovRoutine
 from .grid_2d_rollout import Grid2DRolloutRoutine
+from .point_cloud import PointCloudRoutine
+from .structured_mesh import StructuredMeshRoutine
 
 __all__ = [
     "Routine",
@@ -8,4 +10,6 @@ __all__ = [
     "make_optimizer",
     "Grid2DMarkovRoutine",
     "Grid2DRolloutRoutine",
+    "PointCloudRoutine",
+    "StructuredMeshRoutine",
 ]
