@@ -1,5 +1,10 @@
 from .base import Builder, iterate_batches, load_array
 from .elasticity import ElasticityBuilder
+from .kolmogorov import (
+    KolmogorovBuilder,
+    KolmogorovMarkovDataset,
+    KolmogorovTrajectoryDataset,
+)
 from .ns_contextual import NSContextualBuilder
 from .ns_markov import NSMarkovBuilder
 from .ns_zongyi import NSZongyiBuilder
@@ -11,6 +16,9 @@ __all__ = [
     "iterate_batches",
     "load_array",
     "ElasticityBuilder",
+    "KolmogorovBuilder",
+    "KolmogorovMarkovDataset",
+    "KolmogorovTrajectoryDataset",
     "NSContextualBuilder",
     "NSMarkovBuilder",
     "NSZongyiBuilder",

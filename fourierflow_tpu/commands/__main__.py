@@ -38,6 +38,9 @@ def main(argv=None):
 
     p_gen = sub.add_parser("generate", help="generate datasets")
     gen_sub = p_gen.add_subparsers(dest="generator", required=True)
+    p_kol = gen_sub.add_parser("kolmogorov")
+    p_kol.add_argument("config_path")
+    p_kol.add_argument("overrides", nargs="*")
     p_ns = gen_sub.add_parser("navier-stokes")
     p_ns.add_argument("path")
     for name, typ, default in [
@@ -72,7 +75,11 @@ def main(argv=None):
 
         predict_main(args.config_path, args.checkpoint_path, overrides=args.overrides)
     elif args.command == "generate":
-        if args.generator == "navier-stokes":
+        if args.generator == "kolmogorov":
+            from .generate import kolmogorov
+
+            kolmogorov(args.config_path, overrides=args.overrides)
+        elif args.generator == "navier-stokes":
             from .generate import navier_stokes
 
             navier_stokes(

@@ -17,7 +17,103 @@ from ..builders.synthetic import gaussian_random_field, solve_navier_stokes_2d
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["navier_stokes"]
+__all__ = ["navier_stokes", "kolmogorov"]
+
+
+def kolmogorov(config_path: str, overrides=None):
+    """Generate Kolmogorov-flow datasets from a data config YAML
+    (reference:fourierflow/commands/generate.py:34-226). Trajectories are
+    simulated sequentially (one chip; no dask) with streaming HDF5 writes:
+    files ``{stem}_{size}_{k}.h5`` (trajectories) or ``{stem}_{size}.h5``
+    (warmup-only initial conditions)."""
+    from ..builders.kolmogorov import generate_kolmogorov
+    from ..config import instantiate, load_config
+
+    cfg = load_config(config_path, overrides)
+    config_dir = os.path.dirname(os.path.abspath(config_path))
+    stem = os.path.splitext(os.path.basename(config_path))[0]
+
+    sim_grid = instantiate(cfg["sim_grid"])
+    out_vorticity = cfg.get("out_vorticity", True)
+    dt = cfg["time_step"]
+    if not isinstance(dt, float):
+        dt = instantiate(dt)
+
+    n_traj = cfg["n_trajectories"]
+    inner_steps = cfg["inner_steps"]
+    outer_steps = cfg["outer_steps"]
+    warmup_steps = cfg.get("warmup_steps", 0)
+    keys = jax.random.split(jax.random.PRNGKey(cfg["seed"]), n_traj)
+
+    downsample_fn = instantiate(cfg["downsample_fn"])
+    step_cfg = cfg["step_fn"]
+
+    init_path = cfg.get("init_path")
+    init_file = None
+    if init_path:
+        init_path = os.path.splitext(os.path.expandvars(init_path))[0] + ".h5"
+        init_file = h5py.File(init_path, "r")
+
+    # Open output files and pre-create datasets for streaming writes.
+    files = {}
+    fields = ["vx", "vy"] + (["vorticity"] if out_vorticity else [])
+    for o in cfg["out_sizes"]:
+        key = (o["size"], o["k"])
+        size, k = key
+        if outer_steps > 0:
+            path = os.path.join(config_dir, f"{stem}_{size}_{k}.h5")
+            t_len = outer_steps // k
+            shape = (n_traj, t_len, size, size)
+            times = dt * inner_steps * k * np.arange(1, t_len + 1)
+        else:
+            path = os.path.join(config_dir, f"{stem}_{size}.h5")
+            shape = (n_traj, size, size)
+            times = None
+        f = h5py.File(path, "w")
+        for name in fields:
+            f.create_dataset(name, shape, np.float32)
+        if times is not None:
+            f.create_dataset("time", data=times.astype(np.float32))
+        f.create_dataset("elapsed", (n_traj,), np.float32)
+        f.attrs["dt"] = dt
+        f.attrs["inner_steps"] = inner_steps
+        files[key] = f
+
+    try:
+        for i in range(n_traj):
+            initial_field = None
+            if init_file is not None:
+                initial_field = {
+                    name: init_file[name][i] for name in ["vorticity", "vx", "vy"]
+                }
+            outs, elapsed = generate_kolmogorov(
+                sim_grid=sim_grid,
+                out_sizes=cfg["out_sizes"],
+                method=cfg.get("method", "pseudo_spectral"),
+                step_fn=step_cfg,
+                downsample_fn=downsample_fn,
+                seed=keys[i],
+                initial_field=initial_field,
+                peak_wavenumber=cfg.get("peak_wavenumber", 4.0),
+                max_velocity=cfg.get("max_velocity", 7.0),
+                inner_steps=inner_steps,
+                outer_steps=outer_steps,
+                warmup_steps=warmup_steps,
+                out_vorticity=out_vorticity,
+            )
+            for key, f in files.items():
+                k = key[1]
+                for name in fields:
+                    arr = outs[key][name]
+                    # subsample snapshots by k (generate.py:155-166)
+                    f[name][i] = arr[k - 1 :: k] if outer_steps > 0 else arr
+                f["elapsed"][i] = elapsed
+            logger.info("trajectory %d/%d done in %.1fs", i + 1, n_traj, elapsed)
+    finally:
+        for f in files.values():
+            f.close()
+        if init_file is not None:
+            init_file.close()
 
 
 def navier_stokes(

@@ -62,6 +62,19 @@ TARGET_TRANSLATION = {
     "fourierflow.schedulers.LinearWithWarmupScheduler": "fourierflow_tpu.schedulers.linear_with_warmup",
     "fourierflow.schedulers.ExponentialWithWarmupScheduler": "fourierflow_tpu.schedulers.exponential_with_warmup",
     "torch.optim.lr_scheduler.StepLR": "fourierflow_tpu.schedulers.step_lr",
+    # kolmogorov pipeline (jax-cfd targets -> native equivalents)
+    "fourierflow.utils.Grid": "fourierflow_tpu.utils.Grid",
+    "fourierflow.utils.equations.NavierStokes2D": "fourierflow_tpu.utils.equations.NavierStokes2D",
+    "jax_cfd.spectral.time_stepping.crank_nicolson_rk4": "fourierflow_tpu.utils.equations.crank_nicolson_rk4",
+    "jax_cfd.base.equations.stable_time_step": "fourierflow_tpu.utils.equations.stable_time_step",
+    "jax_cfd.base.grids.Grid": "fourierflow_tpu.utils.Grid",
+    "jax_cfd.base.forcings.simple_turbulence_forcing": "fourierflow_tpu.utils.forcings.simple_turbulence_forcing",
+    "fourierflow.utils.forcings.kolmogorov_forcing_fn": "fourierflow_tpu.utils.forcings.kolmogorov_forcing_fn",
+    "fourierflow.builders.kolmogorov.downsample_vorticity": "fourierflow_tpu.builders.kolmogorov.downsample_vorticity_snapshot",
+    "fourierflow.builders.kolmogorov.downsample_velocity": "fourierflow_tpu.builders.kolmogorov.downsample_velocity_snapshot",
+    "fourierflow.builders.KolmogorovTorchDataset": "fourierflow_tpu.builders.kolmogorov.KolmogorovMarkovDataset",
+    "fourierflow.builders.kolmogorov.KolmogorovTorchDataset": "fourierflow_tpu.builders.kolmogorov.KolmogorovMarkovDataset",
+    "fourierflow.builders.kolmogorov.KolmogorovTrajectoryDataset": "fourierflow_tpu.builders.kolmogorov.KolmogorovTrajectoryDataset",
     # callbacks
     "fourierflow.callbacks.CustomModelCheckpoint": "fourierflow_tpu.trainers.ModelCheckpoint",
     # lightning-only callbacks: dropped at instantiation
@@ -93,7 +106,7 @@ _EVAL_NS = {"pi": math.pi, "e": math.e, "math": math}
 _INTERP_RE = re.compile(r"\$\{([^{}]+)\}")
 
 
-def _resolve_value(expr: str) -> Any:
+def _resolve_value(expr: str, root: Optional[Dict] = None) -> Any:
     expr = expr.strip()
     if expr.startswith("oc.env:"):
         body = expr[len("oc.env:") :]
@@ -110,23 +123,41 @@ def _resolve_value(expr: str) -> Any:
         return import_string(expr[len("import:") :].strip())
     if expr.startswith("get_method:"):
         return expr  # kept symbolic; resolved at instantiation
+    # OmegaConf-style reference to another config node (e.g. ${sim_grid},
+    # ${domain}, ${a.b.c}).
+    if root is not None:
+        node: Any = root
+        for part in expr.split("."):
+            if isinstance(node, dict) and part in node:
+                node = node[part]
+            else:
+                node = None
+                break
+        if node is not None:
+            return _interpolate(node, root)
     raise ValueError(f"unknown resolver in ${{{expr}}}")
 
 
-def _interpolate(obj: Any) -> Any:
-    if isinstance(obj, str):
-        m = _INTERP_RE.fullmatch(obj.strip())
+def _resolve_str(s: str, root: Optional[Dict]) -> Any:
+    """Resolve a string with possibly-nested ${...} interpolations,
+    innermost first (e.g. ``${eval:2 * ${import:numpy.pi}}``)."""
+    for _ in range(10):
+        m = _INTERP_RE.fullmatch(s.strip())
         if m:
-            return _resolve_value(m.group(1))
+            return _resolve_value(m.group(1), root)
+        if not _INTERP_RE.search(s):
+            return s
+        s = _INTERP_RE.sub(lambda mm: str(_resolve_value(mm.group(1), root)), s)
+    return s
 
-        def sub(match):
-            return str(_resolve_value(match.group(1)))
 
-        return _INTERP_RE.sub(sub, obj)
+def _interpolate(obj: Any, root: Optional[Dict] = None) -> Any:
+    if isinstance(obj, str):
+        return _resolve_str(obj, root)
     if isinstance(obj, dict):
-        return {k: _interpolate(v) for k, v in obj.items()}
+        return {k: _interpolate(v, root) for k, v in obj.items()}
     if isinstance(obj, list):
-        return [_interpolate(v) for v in obj]
+        return [_interpolate(v, root) for v in obj]
     return obj
 
 
@@ -149,7 +180,7 @@ def load_config(path: str, overrides: Optional[List[str]] = None) -> Dict:
     with open(path) as f:
         cfg = yaml.safe_load(f)
     cfg = apply_overrides(cfg, overrides or [])
-    return _interpolate(cfg)
+    return _interpolate(cfg, root=cfg)
 
 
 def _translate(target: str) -> Optional[str]:

@@ -15,9 +15,64 @@ import numpy as np
 
 from ..ops.fourier import irfft2, rfft2
 
-__all__ = ["rfft_mesh", "fft_mesh", "laplacian_hat", "velocity_from_vorticity"]
+__all__ = [
+    "Grid",
+    "rfft_mesh",
+    "fft_mesh",
+    "laplacian_hat",
+    "velocity_from_vorticity",
+]
 
 TWO_PI = 2.0 * np.pi
+
+
+class Grid:
+    """Minimal native uniform periodic grid (replaces jax_cfd.base.grids.Grid
+    for our purposes; config target parity with ``fourierflow.utils.Grid``,
+    reference:fourierflow/utils/array.py:97-103).
+
+    Cell size is ``step = L/n`` per axis; ``axes()`` returns cell centers
+    (offset 0.5), ``mesh(offset)`` arbitrary-offset meshgrids.
+    """
+
+    def __init__(self, shape, step=None, domain=None):
+        self.shape = tuple(int(s) for s in shape)
+        if domain is not None:
+            self.domain = tuple((float(a), float(b)) for a, b in domain)
+        else:
+            step = step if step is not None else 1.0
+            steps = (step,) * len(self.shape) if np.ndim(step) == 0 else step
+            self.domain = tuple(
+                (0.0, float(s) * n) for s, n in zip(steps, self.shape)
+            )
+
+    @property
+    def ndim(self):
+        return len(self.shape)
+
+    @property
+    def step(self):
+        return tuple((d[1] - d[0]) / n for d, n in zip(self.domain, self.shape))
+
+    def axes(self, offset=0.5):
+        return tuple(
+            d[0] + (np.arange(n) + offset) * ((d[1] - d[0]) / n)
+            for d, n in zip(self.domain, self.shape)
+        )
+
+    def mesh(self, offset=None):
+        offs = offset if offset is not None else (0.5,) * self.ndim
+        axes = [
+            d[0] + (np.arange(n) + o) * ((d[1] - d[0]) / n)
+            for d, n, o in zip(self.domain, self.shape, offs)
+        ]
+        return tuple(jnp.asarray(m.astype(np.float32)) for m in np.meshgrid(*axes, indexing="ij"))
+
+    def rfft_mesh(self):
+        return rfft_mesh(self.shape, self.domain)
+
+    def fft_mesh(self):
+        return fft_mesh(self.shape, self.domain)
 
 
 def _domain_lengths(domain) -> Tuple[float, float]:
