@@ -1,4 +1,5 @@
 from .base import Builder, iterate_batches, load_array
+from .cylinder_flow import CylinderFlowBuilder
 from .elasticity import ElasticityBuilder
 from .kolmogorov import (
     KolmogorovBuilder,
@@ -15,6 +16,7 @@ __all__ = [
     "Builder",
     "iterate_batches",
     "load_array",
+    "CylinderFlowBuilder",
     "ElasticityBuilder",
     "KolmogorovBuilder",
     "KolmogorovMarkovDataset",

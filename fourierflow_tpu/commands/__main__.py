@@ -54,6 +54,22 @@ def main(argv=None):
         p_ns.add_argument(f"--{name}", type=typ, default=default)
     p_ns.add_argument("--varying-force", action="store_true")
 
+    p_conv = sub.add_parser("convert", help="convert meshgraphnets TFRecords to HDF5")
+    conv_sub = p_conv.add_subparsers(dest="converter", required=True)
+    p_cf = conv_sub.add_parser("cylinder-flow")
+    p_cf.add_argument("--data-dir", default="data/meshgraphnets/cylinder_flow")
+    p_cf.add_argument("--out", default="data/meshgraphnets/cylinder_flow/cylinder_flow.h5")
+
+    p_dl = sub.add_parser("download", help="download datasets")
+    dl_sub = p_dl.add_subparsers(dest="dataset", required=True)
+    p_dl_fno = dl_sub.add_parser("fno")
+    p_dl_fno.add_argument("--data-root", default="$DATA_ROOT")
+    p_dl_geo = dl_sub.add_parser("geo-fno")
+    p_dl_geo.add_argument("--data-root", default="$DATA_ROOT")
+    p_dl_mgn = dl_sub.add_parser("meshgraphnets")
+    p_dl_mgn.add_argument("--data-dir", default="data/meshgraphnets")
+    p_dl_mgn.add_argument("--settings", nargs="*", default=None)
+
     args = parser.parse_args(argv)
 
     if args.command == "train":
@@ -74,6 +90,20 @@ def main(argv=None):
         from .predict import main as predict_main
 
         predict_main(args.config_path, args.checkpoint_path, overrides=args.overrides)
+    elif args.command == "convert":
+        if args.converter == "cylinder-flow":
+            from .convert import cylinder_flow
+
+            cylinder_flow(args.data_dir, args.out)
+    elif args.command == "download":
+        from . import download as dl
+
+        if args.dataset == "fno":
+            dl.fno(args.data_root)
+        elif args.dataset == "geo-fno":
+            dl.geo_fno(args.data_root)
+        elif args.dataset == "meshgraphnets":
+            dl.meshgraphnets(args.data_dir, args.settings)
     elif args.command == "generate":
         if args.generator == "kolmogorov":
             from .generate import kolmogorov

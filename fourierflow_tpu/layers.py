@@ -93,6 +93,43 @@ class WNLinear(nn.Module):
         return y
 
 
+class GehringLinear(nn.Module):
+    """Linear layer with Gehring et al. (2017) initialization and optional
+    weight normalization (reference:fourierflow/modules/linear.py:12-38).
+
+    Init: weights ~ N(0, sqrt((1 - dropout) / fan_in)), zero bias — the
+    fan-in scaling keeps output variance at 1 under dropout.
+    """
+
+    features: int
+    dropout: float = 0.0
+    use_bias: bool = True
+    weight_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        in_f = x.shape[-1]
+
+        def gehring_init(key, shape, dtype=jnp.float32):
+            std = math.sqrt((1.0 - self.dropout) / shape[0])
+            return std * jax.random.normal(key, shape, dtype)
+
+        v = self.param("kernel", gehring_init, (in_f, self.features))
+        if self.weight_norm:
+            g = self.param(
+                "g", lambda _key: jnp.linalg.norm(v, axis=0, keepdims=True)
+            )
+            norm = jnp.linalg.norm(v, axis=0, keepdims=True)
+            kernel = g * v / jnp.maximum(norm, 1e-12)
+        else:
+            kernel = v
+        y = x @ kernel
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,))
+            y = y + b
+        return y
+
+
 class FeedForward(nn.Module):
     """n-layer MLP with expansion `factor`, ReLU between layers, optional
     LayerNorm on the last layer (reference:fourierflow/modules/feedforward.py).

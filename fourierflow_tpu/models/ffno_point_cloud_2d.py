@@ -18,9 +18,9 @@ import jax
 import jax.numpy as jnp
 
 from ..layers import FeedForward, WNLinear, xavier_normal_init
-from ..ops.fourier import irfft2, rfft2
+from ..ops.fourier import irfftn_pair, rfftn_pair
 from ..ops.nudft import inudft2d, nudft2d
-from ..ops.spectral import spectral_mix_axis
+from ..ops.spectral import permode_cmul, spectral_mix_axis
 from .ffno_mesh_2d import get_grid_2d
 
 __all__ = ["FNOFactorizedPointCloud2D"]
@@ -52,14 +52,16 @@ class FNOFactorizedPointCloud2D(nn.Module):
 
     def _halves_to_grid(self, yr, yi):
         """Zero-pad the truncated spectrum halves into rfft2 layout and
-        transform to the uniform grid (point_cloud_2d.py:66-76)."""
+        transform to the uniform grid (point_cloud_2d.py:66-76). Real-pair
+        arithmetic throughout — eager complex dispatch is UNIMPLEMENTED on
+        the axon TPU backend (see ops/fourier.py:rfftn_pair)."""
         b, _, _, c = yr.shape
         m1, m2 = self.modes1, self.modes2
-        z = yr + 1j * yi  # [b, 2*m1, m2, c]
-        out = jnp.zeros((b, self.s1, self.s2 // 2 + 1, c), dtype=z.dtype)
-        out = out.at[:, :m1, :m2, :].set(z[:, :m1])
-        out = out.at[:, -m1:, :m2, :].set(z[:, m1:])
-        return irfft2(out, s=(self.s1, self.s2), axes=(1, 2))
+        out_r = jnp.zeros((b, self.s1, self.s2 // 2 + 1, c), dtype=yr.dtype)
+        out_i = jnp.zeros((b, self.s1, self.s2 // 2 + 1, c), dtype=yr.dtype)
+        out_r = out_r.at[:, :m1, :m2, :].set(yr[:, :m1]).at[:, -m1:, :m2, :].set(yr[:, m1:])
+        out_i = out_i.at[:, :m1, :m2, :].set(yi[:, :m1]).at[:, -m1:, :m2, :].set(yi[:, m1:])
+        return irfftn_pair(out_r, out_i, s=(self.s1, self.s2), axes=(1, 2))
 
     @nn.compact
     def __call__(self, u, code=None, x_in=None, x_out=None, **kwargs):
@@ -111,23 +113,11 @@ class FNOFactorizedPointCloud2D(nn.Module):
         w1 = self.param("last_weight_1", _geo_complex_init(scale), wshape_full)
         w2 = self.param("last_weight_2", _geo_complex_init(scale), wshape_full)
 
-        uf = rfft2(uc, axes=(1, 2))  # [b, s1, s2//2+1, width]
-        top = uf[:, :m1, :m2, :]
-        bot = uf[:, -m1:, :m2, :]
-
-        def cmul(z, w):
-            zr, zi = jnp.real(z), jnp.imag(z)
-            wr, wi = w[..., 0], w[..., 1]
-            yr = jnp.einsum("bxyi,ioxy->bxyo", zr, wr) - jnp.einsum(
-                "bxyi,ioxy->bxyo", zi, wi
-            )
-            yi = jnp.einsum("bxyi,ioxy->bxyo", zr, wi) + jnp.einsum(
-                "bxyi,ioxy->bxyo", zi, wr
-            )
-            return yr, yi
-
-        f1r, f1i = cmul(top, w1)
-        f2r, f2i = cmul(bot, w2)
+        ufr, ufi = rfftn_pair(uc, axes=(1, 2))  # [b, s1, s2//2+1, width]
+        # Batched-matmul mixing: multi-batch-dim einsums hang the axon
+        # TPU compiler (see ops/spectral.py:permode_cmul).
+        f1r, f1i = permode_cmul(ufr[:, :m1, :m2, :], ufi[:, :m1, :m2, :], w1)
+        f2r, f2i = permode_cmul(ufr[:, -m1:, :m2, :], ufi[:, -m1:, :m2, :], w2)
         ur = jnp.concatenate([f1r, f2r], axis=1)  # [b, 2*m1, m2, width]
         ui = jnp.concatenate([f1i, f2i], axis=1)
         pts = inudft2d(ur, ui, xi_out, m1, m2)  # [b, n, width]

@@ -21,6 +21,10 @@ from .dft import cdft_basis, irdft_basis, rdft_basis
 
 __all__ = [
     "rfft2",
+    "rfftn",
+    "irfftn",
+    "rfftn_pair",
+    "irfftn_pair",
     "irfft2",
     "fft2",
     "ifft2",
@@ -62,33 +66,66 @@ def _cfft_axis(zr, zi, axis: int, inverse: bool) -> Tuple[jax.Array, jax.Array]:
     return jnp.moveaxis(yr, -1, axis), jnp.moveaxis(yi, -1, axis)
 
 
-def rfft2(x: jax.Array, axes=(-2, -1), impl: str = "auto") -> jax.Array:
-    """Real 2D FFT over `axes` (half-spectrum on axes[1]), norm='backward'."""
+def rfftn_pair(x: jax.Array, axes, impl: str = "auto") -> Tuple[jax.Array, jax.Array]:
+    """Real N-D FFT over `axes` (half-spectrum on axes[-1]), norm='backward',
+    returned as a (real, imag) float pair.
+
+    Prefer this (and ``irfftn_pair``) inside models: the axon TPU backend
+    cannot *eagerly* dispatch complex arithmetic (``zr + 1j*zi`` raises
+    UNIMPLEMENTED outside jit — verified on v5e), and flax ``init`` runs
+    eagerly. The pair API keeps the whole spectral path in real dtypes.
+    """
     if resolve_fourier_impl(impl) == "xla":
-        return jnp.fft.rfftn(x, axes=axes)
-    ax0, ax1 = (a % x.ndim for a in axes)
-    n1 = x.shape[ax1]
+        z = jnp.fft.rfftn(x, axes=axes)
+        return jnp.real(z), jnp.imag(z)
+    axes = [a % x.ndim for a in axes]
+    ax_half = axes[-1]
+    n1 = x.shape[ax_half]
     m = n1 // 2 + 1
     er, ei = (jnp.asarray(b) for b in rdft_basis(n1, m, norm="backward", dtype=str(x.dtype)))
-    xm = jnp.moveaxis(x, ax1, -1)
-    zr = jnp.moveaxis(xm @ er, -1, ax1)
-    zi = jnp.moveaxis(xm @ ei, -1, ax1)
-    yr, yi = _cfft_axis(zr, zi, ax0, inverse=False)
-    return yr + 1j * yi
+    xm = jnp.moveaxis(x, ax_half, -1)
+    zr = jnp.moveaxis(xm @ er, -1, ax_half)
+    zi = jnp.moveaxis(xm @ ei, -1, ax_half)
+    for ax in axes[:-1]:
+        zr, zi = _cfft_axis(zr, zi, ax, inverse=False)
+    return zr, zi
+
+
+def irfftn_pair(zr: jax.Array, zi: jax.Array, s, axes, impl: str = "auto") -> jax.Array:
+    """Inverse of ``rfftn_pair`` back to a real field of spatial shape `s`."""
+    if resolve_fourier_impl(impl) == "xla":
+        return jnp.fft.irfftn(zr + 1j * zi, s=s, axes=axes)
+    axes = [a % zr.ndim for a in axes]
+    ax_half = axes[-1]
+    n1 = s[-1]
+    for ax in axes[:-1]:
+        zr, zi = _cfft_axis(zr, zi, ax, inverse=True)
+    m = zr.shape[ax_half]
+    cr, ci = (jnp.asarray(b) for b in irdft_basis(n1, m, norm="backward", dtype=str(zr.dtype)))
+    out = jnp.moveaxis(zr, ax_half, -1) @ cr + jnp.moveaxis(zi, ax_half, -1) @ ci
+    return jnp.moveaxis(out, -1, ax_half)
+
+
+def rfftn(x: jax.Array, axes, impl: str = "auto") -> jax.Array:
+    """Complex-interface ``rfftn``; safe under jit. For eager/model code use
+    ``rfftn_pair`` (see its docstring for the axon eager-complex gotcha)."""
+    zr, zi = rfftn_pair(x, axes, impl)
+    return zr + 1j * zi
+
+
+def irfftn(z: jax.Array, s, axes, impl: str = "auto") -> jax.Array:
+    """Inverse of ``rfftn`` back to a real field of spatial shape `s`."""
+    return irfftn_pair(jnp.real(z), jnp.imag(z), s, axes, impl)
+
+
+def rfft2(x: jax.Array, axes=(-2, -1), impl: str = "auto") -> jax.Array:
+    """Real 2D FFT over `axes` (half-spectrum on axes[1]), norm='backward'."""
+    return rfftn(x, axes, impl)
 
 
 def irfft2(z: jax.Array, s, axes=(-2, -1), impl: str = "auto") -> jax.Array:
     """Inverse of ``rfft2`` back to a real field of spatial shape `s`."""
-    if resolve_fourier_impl(impl) == "xla":
-        return jnp.fft.irfftn(z, s=s, axes=axes)
-    ax0, ax1 = (a % z.ndim for a in axes)
-    n0, n1 = s
-    zr, zi = jnp.real(z), jnp.imag(z)
-    zr, zi = _cfft_axis(zr, zi, ax0, inverse=True)
-    m = z.shape[ax1]
-    cr, ci = (jnp.asarray(b) for b in irdft_basis(n1, m, norm="backward", dtype=str(zr.dtype)))
-    out = jnp.moveaxis(zr, ax1, -1) @ cr + jnp.moveaxis(zi, ax1, -1) @ ci
-    return jnp.moveaxis(out, -1, ax1)
+    return irfftn(z, s, axes, impl)
 
 
 def fftn(z: jax.Array, axes, impl: str = "auto") -> jax.Array:

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["nudft_wavenumbers", "nudft2d", "inudft2d"]
+__all__ = ["nudft_wavenumbers", "nudft2d", "inudft2d", "nudft_axis", "inudft_axis"]
 
 
 def nudft_wavenumbers(modes1: int, modes2: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -95,4 +95,45 @@ def inudft2d(
     # Re((ur + i*ui) * exp(+i ang)) = ur*cos - ui*sin
     return jnp.einsum("bxyc,bnxy->bnc", ur_full, cr) - jnp.einsum(
         "bxyc,bnxy->bnc", ui_full, si
+    )
+
+
+def nudft_axis(u: jax.Array, coord: jax.Array, modes: int) -> Tuple[jax.Array, jax.Array]:
+    """Per-axis forward NUDFT (the fully-factorized Geo-FNO transform,
+    reference:fourierflow/modules/factorized_fno/mesh_plus_2d.py:118-142).
+
+    Only the non-negative frequencies ``k = 0..modes-1`` are kept — the
+    reference's per-axis bases use ``arange(0, m)``.
+
+    Args:
+      u: ``[batch, n_points, channels]`` real point values.
+      coord: ``[batch, n_points]`` the coordinate along this axis.
+    Returns:
+      (real, imag) each ``[batch, modes, channels]``:
+      ``sum_n u_n * exp(-2*pi*i * coord_n * k)``.
+    """
+    k = jnp.arange(modes, dtype=u.dtype)
+    ang = 2 * jnp.pi * coord[..., None] * k[None, None, :]  # [b, n, m]
+    yr = jnp.einsum("bnc,bnm->bmc", u, jnp.cos(ang))
+    yi = -jnp.einsum("bnc,bnm->bmc", u, jnp.sin(ang))
+    return yr, yi
+
+
+def inudft_axis(
+    u_r: jax.Array, u_i: jax.Array, coord: jax.Array, modes: int
+) -> jax.Array:
+    """Per-axis inverse NUDFT: truncated positive-frequency spectrum ->
+    real values at scattered coordinates (mesh_plus_2d.py:144-168):
+    ``Re(sum_k (u_r + i*u_i)_k * exp(+2*pi*i * coord_n * k))``.
+
+    Args:
+      u_r, u_i: ``[batch, modes, channels]``.
+      coord: ``[batch, n_points]``.
+    Returns:
+      ``[batch, n_points, channels]`` real.
+    """
+    k = jnp.arange(modes, dtype=u_r.dtype)
+    ang = 2 * jnp.pi * coord[..., None] * k[None, None, :]  # [b, n, m]
+    return jnp.einsum("bmc,bnm->bnc", u_r, jnp.cos(ang)) - jnp.einsum(
+        "bmc,bnm->bnc", u_i, jnp.sin(ang)
     )

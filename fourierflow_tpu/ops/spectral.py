@@ -30,14 +30,59 @@ import jax
 import jax.numpy as jnp
 
 from .dft import dct2_basis, idct2_basis, irdft_basis, rdft_basis
+from .fourier import irfftn_pair as _irfftn_pair
+from .fourier import rfftn_pair as _rfftn_pair
 
 __all__ = [
     "spectral_mix_axis",
     "spectral_lowpass_axis",
     "spectral_conv_2d_full",
+    "spectral_conv_3d_full",
     "dct_mix_axis",
+    "permode_cmul",
     "resolve_impl",
 ]
+
+
+def permode_cmul(xr, xi, w):
+    """Per-mode complex channel mixing as batched real matmuls.
+
+    Computes the reference's ``einsum('bxyi,ioxy->boxy', x, w)`` (and its
+    N-D analogues) with the mode dims flattened into the matmul batch
+    dimension. The axon TPU backend pathologically compiles dot_generals
+    with multiple non-leading batch dims (minutes/hangs, verified on v5e),
+    while plain [g, b, i] @ [g, i, o] batched matmuls compile in <1s and
+    run on the MXU.
+
+    Args:
+      xr, xi: ``[batch, *modes, in]`` real/imag spectrum parts.
+      w: ``[in, out, *modes, 2]`` per-mode weights.
+    Returns:
+      (yr, yi) each ``[batch, *modes, out]``.
+    """
+    b = xr.shape[0]
+    mode_dims = xr.shape[1:-1]
+    ci, co = w.shape[0], w.shape[1]
+    g = 1
+    for m in mode_dims:
+        g *= m
+    nd = len(mode_dims)
+
+    def x_bm(x):  # [b, *modes, i] -> [g, b, i]
+        x = jnp.moveaxis(x, 0, nd)
+        return x.reshape(g, b, ci)
+
+    # [i, o, *modes, 2] -> [g, i, o] per part
+    wm = jnp.moveaxis(w, (0, 1), (nd, nd + 1)).reshape(g, ci, co, 2)
+    wr, wi = wm[..., 0], wm[..., 1]
+    xrm, xim = x_bm(xr), x_bm(xi)
+    yr = xrm @ wr - xim @ wi
+    yi = xrm @ wi + xim @ wr
+
+    def back(y):  # [g, b, o] -> [b, *modes, o]
+        return jnp.moveaxis(y.reshape(*mode_dims, b, co), nd, 0)
+
+    return back(yr), back(yi)
 
 # Above this axis length the O(N log N) FFT beats the O(N*M) matmul DFT —
 # but only where XLA exposes an FFT at all: the axon TPU backend raises
@@ -161,23 +206,66 @@ def spectral_conv_2d_full(
 
     Args:
       x: ``[batch, sx, sy, in_channels]``.
-      norm: fft normalization; the reference uses torch defaults
-        (='backward').
+      norm: accepted for API parity with the reference ('backward' or
+        'ortho') but irrelevant to the result: the forward/inverse scale
+        factors cancel in the transform->mix->inverse round trip, so both
+        normalizations yield identical outputs. We always compute with the
+        backward-normalized platform-robust wrappers (ops/fourier.py),
+        which use matmul DFTs on TPU where XLA's FFT is unavailable.
     """
+    del norm, precision
     b, sx, sy, ci = x.shape
     m1, m2 = weight1.shape[2], weight1.shape[3]
-    w1 = weight1[..., 0] + 1j * weight1[..., 1]
-    w2 = weight2[..., 0] + 1j * weight2[..., 1]
 
-    xf = jnp.fft.rfft2(x, axes=(1, 2), norm=norm)  # [b, sx, sy//2+1, i]
-    top = jnp.einsum("bxyi,ioxy->bxyo", xf[:, :m1, :m2, :], w1, precision=precision)
-    bot = jnp.einsum("bxyi,ioxy->bxyo", xf[:, -m1:, :m2, :], w2, precision=precision)
+    xr, xi = _rfftn_pair(x, axes=(1, 2))  # [b, sx, sy//2+1, i]
+    tr, ti = permode_cmul(xr[:, :m1, :m2, :], xi[:, :m1, :m2, :], weight1)
+    br, bi = permode_cmul(xr[:, -m1:, :m2, :], xi[:, -m1:, :m2, :], weight2)
 
-    co = w1.shape[1]
-    out_f = jnp.zeros((b, sx, sy // 2 + 1, co), dtype=xf.dtype)
-    out_f = out_f.at[:, :m1, :m2, :].set(top)
-    out_f = out_f.at[:, -m1:, :m2, :].set(bot)
-    return jnp.fft.irfft2(out_f, s=(sx, sy), axes=(1, 2), norm=norm)
+    co = weight1.shape[1]
+    out_r = jnp.zeros((b, sx, sy // 2 + 1, co), dtype=x.dtype)
+    out_i = jnp.zeros((b, sx, sy // 2 + 1, co), dtype=x.dtype)
+    out_r = out_r.at[:, :m1, :m2, :].set(tr).at[:, -m1:, :m2, :].set(br)
+    out_i = out_i.at[:, :m1, :m2, :].set(ti).at[:, -m1:, :m2, :].set(bi)
+    return _irfftn_pair(out_r, out_i, s=(sx, sy), axes=(1, 2))
+
+
+def spectral_conv_3d_full(
+    x: jax.Array,
+    weights,
+    *,
+    norm: str = "backward",
+    precision: Optional[jax.lax.Precision] = None,
+) -> jax.Array:
+    """Original-FNO full 3D spectral conv (Geo-FNO plasticity baseline).
+
+    Mirrors reference:fourierflow/modules/zongyi_fno/mesh_3d.py:10-56:
+    rfftn over the three spatial axes, complex mixing on the four mode
+    corner blocks (the sign combinations of the x/y frequencies, with the
+    z-axis half-spectrum), irfftn back.
+
+    Args:
+      x: ``[batch, sx, sy, sz, in_channels]``.
+      weights: sequence of four ``[in, out, m1, m2, m3, 2]`` arrays in the
+        reference's corner order (+x+y, -x+y, +x-y, -x-y).
+      norm: accepted for parity; irrelevant (scales cancel in the round
+        trip — see spectral_conv_2d_full).
+    """
+    del norm, precision
+    b, sx, sy, sz, ci = x.shape
+    m1, m2, m3 = weights[0].shape[2:5]
+    xr, xi = _rfftn_pair(x, axes=(1, 2, 3))  # [b, sx, sy, sz//2+1, i]
+
+    pos1, neg1 = slice(0, m1), slice(sx - m1, sx)
+    pos2, neg2 = slice(0, m2), slice(sy - m2, sy)
+    co = weights[0].shape[1]
+    out_r = jnp.zeros((b, sx, sy, sz // 2 + 1, co), dtype=x.dtype)
+    out_i = jnp.zeros((b, sx, sy, sz // 2 + 1, co), dtype=x.dtype)
+    corners = [(pos1, pos2), (neg1, pos2), (pos1, neg2), (neg1, neg2)]
+    for w, (sl1, sl2) in zip(weights, corners):
+        yr, yi = permode_cmul(xr[:, sl1, sl2, :m3, :], xi[:, sl1, sl2, :m3, :], w)
+        out_r = out_r.at[:, sl1, sl2, :m3, :].set(yr)
+        out_i = out_i.at[:, sl1, sl2, :m3, :].set(yi)
+    return _irfftn_pair(out_r, out_i, s=(sx, sy, sz), axes=(1, 2, 3))
 
 
 def dct_mix_axis(

@@ -1,6 +1,7 @@
 from .base import Routine, TrainState, make_optimizer
 from .grid_2d_markov import Grid2DMarkovRoutine
 from .grid_2d_rollout import Grid2DRolloutRoutine
+from .meshgraphnet import MeshGraphNetRoutine
 from .point_cloud import PointCloudRoutine
 from .structured_mesh import StructuredMeshRoutine
 
@@ -10,6 +11,7 @@ __all__ = [
     "make_optimizer",
     "Grid2DMarkovRoutine",
     "Grid2DRolloutRoutine",
+    "MeshGraphNetRoutine",
     "PointCloudRoutine",
     "StructuredMeshRoutine",
 ]
