@@ -4,7 +4,10 @@ from .elasticity import ElasticityBuilder
 from .kolmogorov import (
     KolmogorovBuilder,
     KolmogorovMarkovDataset,
+    KolmogorovMultiDataset,
     KolmogorovTrajectoryDataset,
+    KolmogorovVelocityDataset,
+    KolmogorovVelocityTrajectoryDataset,
 )
 from .ns_contextual import NSContextualBuilder
 from .ns_markov import NSMarkovBuilder
@@ -20,6 +23,9 @@ __all__ = [
     "ElasticityBuilder",
     "KolmogorovBuilder",
     "KolmogorovMarkovDataset",
+    "KolmogorovMultiDataset",
+    "KolmogorovVelocityDataset",
+    "KolmogorovVelocityTrajectoryDataset",
     "KolmogorovTrajectoryDataset",
     "NSContextualBuilder",
     "NSMarkovBuilder",

@@ -294,6 +294,109 @@ class KolmogorovTrajectoryDataset:
         }
 
 
+class KolmogorovVelocityDataset:
+    """Unrolled-velocity training items for the learned-interpolation
+    model (reference KolmogorovJAXDataset, builders/kolmogorov.py:71-108):
+    each item is an initial (vx, vy) plus the next ``unroll_length``
+    snapshots at stride ``k``, time-last."""
+
+    def __init__(self, path: str, k: int = 2, unroll_length: int = 32,
+                 inner_steps: Optional[int] = None, in_memory: bool = True):
+        del inner_steps  # accepted for config parity; stride is `k`
+        self.k = k
+        self.L = unroll_length
+        with h5py.File(path, "r") as f:
+            self.vx = f["vx"][...]  # [S, T, X, Y]
+            self.vy = f["vy"][...]
+        self.B = self.vx.shape[0]
+        self.T = self.vx.shape[1] - self.k * self.L
+
+    def __len__(self):
+        return self.B * self.T
+
+    def sample(self, idx: np.ndarray):
+        b = idx // self.T
+        t = idx % self.T
+        k, L = self.k, self.L
+        steps = np.arange(1, L + 1) * k  # [L]
+        t_out = t[:, None] + steps[None, :]  # [batch, L]
+        inputs = {"vx": self.vx[b, t], "vy": self.vy[b, t]}
+        outputs = {
+            "vx": np.moveaxis(self.vx[b[:, None], t_out], 1, -1),
+            "vy": np.moveaxis(self.vy[b[:, None], t_out], 1, -1),
+        }
+        return inputs, outputs
+
+
+class KolmogorovVelocityTrajectoryDataset:
+    """Whole-trajectory eval items for the learned-interpolation model
+    (reference KolmogorovJAXTrajectoryDataset, builders/kolmogorov.py:
+    215-255): initial staggered velocities plus the 32^2 reference
+    vorticity trajectory for correlation scoring."""
+
+    def __init__(self, init_path: str, corr_path: str, path: Optional[str] = None,
+                 k: int = 1, end: Optional[int] = None, inner_steps: int = 1,
+                 outer_steps: int = 100, in_memory: bool = True):
+        with h5py.File(init_path, "r") as f:
+            self.vx0 = f["vx"][...]  # [S, X, Y]
+            self.vy0 = f["vy"][...]
+        with h5py.File(corr_path, "r") as f:
+            cw = f["vorticity"][...]  # [S, T, X, Y]
+            times = f["time"][...]
+        sl = slice(None, end, k)
+        cw = cw[:, sl]
+        times = times[sl]
+        n = min(outer_steps, cw.shape[1])
+        self.targets = np.moveaxis(cw[:, :n], 1, -1)  # [S, 32, 32, n]
+        self.times = times[:n].astype(np.float32)
+        self.B = self.vx0.shape[0]
+
+    def __len__(self):
+        return self.B
+
+    def sample(self, idx: np.ndarray):
+        return {
+            "vx": self.vx0[idx],
+            "vy": self.vy0[idx],
+            "targets": self.targets[idx],
+            "times": np.broadcast_to(self.times, (len(idx), len(self.times))),
+        }
+
+
+class KolmogorovMultiDataset:
+    """Round-robin multi-resolution training dataset
+    (reference KolmogorovMultiTorchDataset, builders/kolmogorov.py:142-174):
+    one-step datasets at several grid sizes, alternated per batch so the
+    model sees every resolution each epoch. Because batches from different
+    resolutions have different static shapes, each resolution gets its own
+    XLA compilation — batches are grouped per-resolution, not mixed."""
+
+    def __init__(self, paths, k: int = 1, batch_size: int = 32, in_memory: bool = True):
+        self.datasets = [KolmogorovMarkovDataset(p, k=k, in_memory=in_memory) for p in paths]
+        self.batch_size = batch_size
+
+    def __len__(self):
+        return sum(len(d) for d in self.datasets)
+
+    def batches(self, shuffle=False, rng=None):
+        """Interleave per-resolution batches round-robin."""
+        rng = rng or np.random.default_rng()
+        streams = []
+        for ds in self.datasets:
+            idx = np.arange(len(ds))
+            if shuffle:
+                rng.shuffle(idx)
+            streams.append(
+                [ds.sample(idx[s : s + self.batch_size])
+                 for s in range(0, len(idx), self.batch_size)]
+            )
+        n_rounds = max(len(s) for s in streams)
+        for i in range(n_rounds):
+            for s in streams:
+                if i < len(s):
+                    yield s[i]
+
+
 class KolmogorovBuilder(Builder):
     """Builder over generated Kolmogorov HDF5 files
     (reference KolmogorovBuilder, builders/kolmogorov.py:30-68)."""
@@ -308,6 +411,9 @@ class KolmogorovBuilder(Builder):
         self.test_dataset = test_dataset
 
     def _batches(self, dataset, shuffle=False, rng=None):
+        if hasattr(dataset, "batches"):  # multi-resolution round-robin
+            yield from dataset.batches(shuffle=shuffle, rng=rng)
+            return
         n = len(dataset)
         idx = np.arange(n)
         if shuffle:

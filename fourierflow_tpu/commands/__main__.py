@@ -60,6 +60,11 @@ def main(argv=None):
     p_cf.add_argument("--data-dir", default="data/meshgraphnets/cylinder_flow")
     p_cf.add_argument("--out", default="data/meshgraphnets/cylinder_flow/cylinder_flow.h5")
 
+    p_cfg = sub.add_parser("configs", help="list or export registry experiments")
+    p_cfg.add_argument("action", choices=["list", "export"])
+    p_cfg.add_argument("name", nargs="?", default=None)
+    p_cfg.add_argument("--out-dir", default="configs")
+
     p_dl = sub.add_parser("download", help="download datasets")
     dl_sub = p_dl.add_subparsers(dest="dataset", required=True)
     p_dl_fno = dl_sub.add_parser("fno")
@@ -95,6 +100,16 @@ def main(argv=None):
             from .convert import cylinder_flow
 
             cylinder_flow(args.data_dir, args.out)
+    elif args.command == "configs":
+        from ..experiments import experiment_names, materialize
+
+        if args.action == "list":
+            for n in experiment_names():
+                print(n)
+        else:
+            if args.name is None:
+                raise SystemExit("export needs an experiment name")
+            print(materialize(args.name, args.out_dir))
     elif args.command == "download":
         from . import download as dl
 

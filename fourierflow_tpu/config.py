@@ -177,8 +177,16 @@ def apply_overrides(cfg: Dict, overrides: List[str]) -> Dict:
 
 
 def load_config(path: str, overrides: Optional[List[str]] = None) -> Dict:
-    with open(path) as f:
-        cfg = yaml.safe_load(f)
+    """Load an experiment config from a YAML file, or — when `path` is not
+    a file on disk — from the programmatic experiment registry by name
+    (e.g. ``torus_li/markov/24_layers``; see experiments.py)."""
+    if os.path.isfile(path):
+        with open(path) as f:
+            cfg = yaml.safe_load(f)
+    else:
+        from .experiments import get_experiment
+
+        cfg = get_experiment(path)
     cfg = apply_overrides(cfg, overrides or [])
     return _interpolate(cfg, root=cfg)
 

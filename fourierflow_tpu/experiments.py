@@ -1,0 +1,689 @@
+"""Experiment registry: every reference experiment, as config-as-code.
+
+The reference ships 256 near-duplicate Hydra YAML files under
+``experiments/**/config.yaml`` (reference:experiments/). Here the same
+space of experiments is generated programmatically from per-family
+templates — one source of truth per family, parametrized by depth /
+variant / grid size — and exposed by the same path-like names, e.g.::
+
+    python -m fourierflow_tpu.commands train torus_li/markov/24_layers
+    python -m fourierflow_tpu.commands train airfoil/ffno/8_layers
+
+``get_experiment(name)`` returns a config dict in the reference schema
+(wandb / builder / routine / trainer / callbacks) that ``config.load_config``
+accepts verbatim; ``experiment_names()`` lists everything. YAML files under
+``configs/`` still work and take precedence when the path exists on disk.
+
+Hyperparameters mirror the reference configs (file citations inline).
+"""
+
+import copy
+from typing import Dict, List
+
+__all__ = ["experiment_names", "get_experiment", "materialize"]
+
+LAYERS = [4, 8, 12, 16, 20, 24]
+DATA = "${oc.env:DATA_ROOT,./data}"
+
+
+# --- shared nodes ---------------------------------------------------------
+
+def _adamw(lr=0.001, weight_decay=0.0001):
+    return {
+        "_target_": "functools.partial",
+        "_args_": ["${get_method: torch.optim.AdamW}"],
+        "lr": lr,
+        "weight_decay": weight_decay,
+    }
+
+
+def _adam(lr=0.001, weight_decay=0.0001):
+    return {
+        "_target_": "functools.partial",
+        "_args_": ["${get_method: torch.optim.Adam}"],
+        "lr": lr,
+        "weight_decay": weight_decay,
+    }
+
+
+def _cosine(num_training_steps, num_warmup_steps=500):
+    return {
+        "scheduler": {
+            "_target_": "functools.partial",
+            "_args_": ["${get_method: fourierflow_tpu.schedulers.cosine_with_warmup}"],
+            "num_warmup_steps": num_warmup_steps,
+            "num_training_steps": num_training_steps,
+            "num_cycles": 0.5,
+        },
+        "name": "learning_rate",
+    }
+
+
+def _step_lr(step_size, gamma=0.5):
+    return {
+        "scheduler": {
+            "_target_": "functools.partial",
+            "_args_": ["${get_method: torch.optim.lr_scheduler.StepLR}"],
+            "step_size": step_size,
+            "gamma": gamma,
+        },
+        "name": "learning_rate",
+        "interval": "epoch",
+    }
+
+
+def _ckpt(monitor="valid_loss"):
+    return [{
+        "_target_": "fourierflow_tpu.trainers.ModelCheckpoint",
+        "save_last": True,
+        "monitor": monitor,
+        "mode": "min",
+    }]
+
+
+def _wandb(project, group):
+    return {"project": project, "group": group}
+
+
+# --- torus_li -------------------------------------------------------------
+
+def _torus_li_markov(n_layers, **routine_over):
+    """reference:experiments/torus_li/markov/{n}_layers/config.yaml"""
+    conv = {
+        "_target_": "fourierflow_tpu.models.FNOFactorized2DBlock",
+        "modes": 16, "width": 64, "n_layers": n_layers, "input_dim": 3,
+        "share_weight": True, "factor": 4, "ff_weight_norm": True,
+        "gain": 0.1, "dropout": 0.0, "in_dropout": 0.0,
+    }
+    routine = {
+        "_target_": "fourierflow_tpu.routines.Grid2DMarkovRoutine",
+        "conv": conv, "n_steps": 10, "max_accumulations": 1000,
+        "noise_std": 0.01,
+        "optimizer": _adamw(lr=0.0025),
+        "scheduler": _cosine(100000),
+    }
+    routine.update(routine_over)
+    return {
+        "wandb": _wandb("torus_li", f"markov/{n_layers}_layers"),
+        "builder": {
+            "_target_": "fourierflow_tpu.builders.NSMarkovBuilder",
+            "data_path": f"{DATA}/zongyi/NavierStokes_V1e-5_N1200_T20.mat",
+            "train_size": 1000, "test_size": 200, "ssr": 1, "batch_size": 19,
+        },
+        "routine": routine,
+        "trainer": {"max_epochs": 101, "log_every_n_steps": 100},
+        "callbacks": _ckpt(),
+    }
+
+
+def _torus_li_zongyi(n_layers):
+    """reference:experiments/torus_li/zongyi/{n}_layers/config.yaml"""
+    return {
+        "wandb": _wandb("torus_li", f"zongyi/{n_layers}_layers"),
+        "builder": {
+            "_target_": "fourierflow_tpu.builders.NSZongyiBuilder",
+            "data_path": f"{DATA}/zongyi/NavierStokes_V1e-5_N1200_T20.mat",
+            "train_size": 1000, "test_size": 200, "ssr": 1, "n_steps": 10,
+            "batch_size": 20,
+        },
+        "routine": {
+            "_target_": "fourierflow_tpu.routines.Grid2DRolloutRoutine",
+            "conv": {
+                "_target_": "fourierflow_tpu.models.FNOZongyi2DBlock",
+                "modes1": 12, "modes2": 12, "width": 20, "n_layers": n_layers,
+            },
+            "n_steps": 10,
+            "optimizer": _adamw(lr=0.0025),
+            "scheduler": _step_lr(100),
+        },
+        "trainer": {"max_epochs": 500},
+        "callbacks": _ckpt(),
+    }
+
+
+def _torus_li_ablations() -> Dict[str, dict]:
+    """reference:experiments/torus_li/ablation/*/{n}_layers/config.yaml —
+    each is a delta on the markov flagship."""
+    out = {}
+    for n in LAYERS:
+        def markov(**over):
+            cfg = _torus_li_markov(n, **over)
+            return cfg
+
+        def conv_over(cfg, **kw):
+            cfg["routine"]["conv"].update(kw)
+            return cfg
+
+        abl = {}
+        abl["all_weights_shared"] = conv_over(markov(), share_fork=True)
+        abl["learn_difference"] = markov(learn_difference=True)
+        abl["no_sharing"] = conv_over(markov(), share_weight=False)
+        abl["shared_fork"] = conv_over(markov(), share_fork=True, use_fork=True)
+        abl["no_positional_features"] = conv_over(
+            markov(use_position=False), input_dim=1)
+        abl["with_velocity"] = conv_over(markov(use_velocity=True), input_dim=5)
+        abl["shuffle_xy_grid"] = markov(use_position=True, shuffle_grid=True)
+
+        for key, share_w, share_f in [
+            ("no_factorization", False, False),
+            ("no_factorization_shared_weights", True, False),
+            ("no_factorization_shared_all", True, True),
+        ]:
+            cfg = markov()
+            cfg["routine"]["conv"]["_target_"] = "fourierflow_tpu.models.FNOPlus2DBlock"
+            cfg["routine"]["conv"]["share_weight"] = share_w
+            cfg["routine"]["conv"]["share_fork"] = share_f
+            abl[key] = cfg
+
+        for key, conv_residual in [("zongyi_markov", True),
+                                   ("zongyi_markov_residual", True)]:
+            cfg = markov()
+            cfg["builder"]["batch_size"] = 190
+            cfg["routine"]["conv"] = {
+                "_target_": "fourierflow_tpu.models.FNOZongyi2DBlock",
+                "modes1": 12, "modes2": 12, "width": 20, "n_layers": n,
+                "residual": key.endswith("residual"),
+            }
+            abl[key] = cfg
+
+        tf = _torus_li_zongyi(n)
+        tf["routine"]["conv"] = copy.deepcopy(
+            markov()["routine"]["conv"])
+        tf["routine"]["conv"]["input_dim"] = 12
+        tf["routine"]["teacher_forcing"] = True
+        abl["teacher_forcing"] = tf
+
+        for key, cfg in abl.items():
+            cfg["wandb"] = _wandb("torus_li", f"ablation/{key}/{n}_layers")
+            out[f"torus_li/ablation/{key}/{n}_layers"] = cfg
+    return out
+
+
+# --- geo families (airfoil / pipe / elasticity / plasticity) ---------------
+
+def _structured_mesh(project, paths, output_dim, model, batch_size=10,
+                     optimizer=None, scheduler=None, max_epochs=200,
+                     loss_scale=None, group=""):
+    routine = {
+        "_target_": "fourierflow_tpu.routines.StructuredMeshRoutine",
+        "model": model,
+        "optimizer": optimizer or _adamw(),
+        "scheduler": scheduler or _cosine(20000),
+    }
+    if loss_scale:
+        routine["loss_scale"] = loss_scale
+    return {
+        "wandb": _wandb(project, group),
+        "builder": {
+            "_target_": "fourierflow_tpu.builders.StructuredMesh2DBuilder",
+            **paths, "output_dim": output_dim,
+            "train_size": 1000, "valid_size": 200, "test_size": 200,
+            "batch_size": batch_size,
+        },
+        "routine": routine,
+        "trainer": {"max_epochs": max_epochs},
+        "callbacks": _ckpt(),
+    }
+
+
+AIRFOIL_PATHS = {
+    "x1_path": f"{DATA}/geo-fno/airfoil/naca/NACA_Cylinder_X.npy",
+    "x2_path": f"{DATA}/geo-fno/airfoil/naca/NACA_Cylinder_Y.npy",
+    "sigma_path": f"{DATA}/geo-fno/airfoil/naca/NACA_Cylinder_Q.npy",
+}
+PIPE_PATHS = {
+    "x1_path": f"{DATA}/geo-fno/pipe/Pipe_X.npy",
+    "x2_path": f"{DATA}/geo-fno/pipe/Pipe_Y.npy",
+    "sigma_path": f"{DATA}/geo-fno/pipe/Pipe_Q.npy",
+}
+
+
+def _geo_mesh_family(project, paths, output_dim) -> Dict[str, dict]:
+    """airfoil/pipe experiment families (reference:experiments/airfoil/*,
+    experiments/pipe/*). modes per reference: airfoil ffno (32, 16),
+    pipe ffno (16, 16); geo-fno (24, 12) / -big (32, 16)."""
+    out = {}
+    big_x, big_y = (32, 16) if project == "airfoil" else (16, 16)
+    for n in LAYERS:
+        def ffno_model(modes_x, modes_y, width, share):
+            return {
+                "_target_": "fourierflow_tpu.models.FNOFactorizedMesh2D",
+                "modes_x": modes_x, "modes_y": modes_y, "width": width,
+                "input_dim": 4, "n_layers": n, "share_weight": share,
+                "factor": 4, "ff_weight_norm": True, "n_ff_layers": 2,
+                "layer_norm": False,
+            }
+
+        variants = {
+            "ffno": ffno_model(big_x, big_y, 64, False),
+            "ffno-shared": ffno_model(big_x, big_y, 64, True),
+        }
+        if project == "airfoil":
+            variants["ffno-small"] = ffno_model(24, 12, 32, False)
+            fcno = dict(ffno_model(big_x, big_y, 64, False))
+            fcno["_target_"] = "fourierflow_tpu.models.CNOFactorizedMesh2D"
+            variants["fcno"] = fcno
+
+        for name, model in variants.items():
+            out[f"{project}/{name}/{n}_layers"] = _structured_mesh(
+                project, paths, output_dim, model,
+                group=f"{name}/{n}_layers")
+
+        # Geo-FNO baselines (Li et al. 2022 reproduction): Adam + StepLR.
+        geo_variants = {"geo-fno": (24, 12, 32)}
+        if project == "airfoil":
+            geo_variants["geo-fno-big"] = (32, 16, 64)
+        for name, (m1, m2, w) in geo_variants.items():
+            model = {
+                "_target_": "fourierflow_tpu.models.FNOMesh2D",
+                "modes1": m1, "modes2": m2, "width": w, "n_layers": n,
+            }
+            out[f"{project}/{name}/{n}_layers"] = _structured_mesh(
+                project, paths, output_dim, model, batch_size=20,
+                optimizer=_adam(), scheduler=_step_lr(100), max_epochs=501,
+                loss_scale=20, group=f"{name}/{n}_layers")
+    return out
+
+
+def _elasticity_family() -> Dict[str, dict]:
+    """reference:experiments/elasticity/*"""
+    paths = {
+        "sigma_path": f"{DATA}/geo-fno/elasticity/Meshes/Random_UnitCell_sigma_10.npy",
+        "xy_path": f"{DATA}/geo-fno/elasticity/Meshes/Random_UnitCell_XY_10.npy",
+        "rr_path": f"{DATA}/geo-fno/elasticity/Meshes/Random_UnitCell_rr_10.npy",
+    }
+    out = {}
+    for n in LAYERS:
+        def point_cloud(target, m, s, w, optimizer, scheduler, max_epochs):
+            return {
+                "wandb": {},
+                "builder": {
+                    "_target_": "fourierflow_tpu.builders.ElasticityBuilder",
+                    **paths, "train_size": 1000, "valid_size": 200,
+                    "test_size": 200, "batch_size": 20,
+                },
+                "routine": {
+                    "_target_": "fourierflow_tpu.routines.PointCloudRoutine",
+                    "model": {
+                        "_target_": target,
+                        "modes1": m, "modes2": m, "s1": s, "s2": s,
+                        "width": w, "in_channels": 2, "out_channels": 1,
+                        "n_layers": n,
+                    },
+                    "iphi": {"_target_": "fourierflow_tpu.models.IPhi", "width": w},
+                    "N": 1000,
+                    "optimizer": optimizer,
+                    "scheduler": scheduler,
+                },
+                "trainer": {"max_epochs": max_epochs},
+                "callbacks": _ckpt(),
+            }
+
+        ffno = "fourierflow_tpu.models.FNOFactorizedPointCloud2D"
+        geo = "fourierflow_tpu.models.FNOPointCloud2D"
+        variants = {
+            "ffno": point_cloud(ffno, 16, 64, 64, _adamw(), _cosine(20000), 200),
+            "ffno-small": point_cloud(ffno, 12, 40, 32, _adamw(), _cosine(20000), 200),
+            "geo-fno": point_cloud(geo, 12, 40, 32, _adam(), _step_lr(50), 501),
+            "geo-fno-big": point_cloud(geo, 16, 64, 64, _adam(), _step_lr(50), 501),
+        }
+        shared = point_cloud(ffno, 16, 64, 64, _adamw(), _cosine(20000), 200)
+        shared["routine"]["model"]["share_weight"] = True
+        variants["ffno-shared"] = shared
+
+        for name, cfg in variants.items():
+            cfg["wandb"] = _wandb("elasticity", f"{name}/{n}_layers")
+            out[f"elasticity/{name}/{n}_layers"] = cfg
+    return out
+
+
+def _plasticity_family() -> Dict[str, dict]:
+    """reference:experiments/plasticity/*"""
+    out = {}
+    builder = {
+        "_target_": "fourierflow_tpu.builders.PlasticityBuilder",
+        "data_path": f"{DATA}/geo-fno/plasticity/plas_N987_T20.mat",
+        "s1": 101, "s2": 31, "t": 20,
+        "train_size": 827, "valid_size": 80, "test_size": 80, "batch_size": 2,
+    }
+    for n in LAYERS:
+        def ffno3d(target, mx, my, mz, w):
+            return {
+                "_target_": target,
+                "modes_x": mx, "modes_y": my, "modes_z": mz, "width": w,
+                "input_dim": 4, "output_dim": 4, "n_layers": n,
+                "share_weight": False, "factor": 4, "ff_weight_norm": True,
+                "n_ff_layers": 2, "layer_norm": False,
+            }
+
+        f3 = "fourierflow_tpu.models.FNOFactorizedMesh3D"
+        c3 = "fourierflow_tpu.models.CNOFactorizedMesh3D"
+        variants = {
+            "ffno": (ffno3d(f3, 32, 12, 8, 64), _adamw(), _cosine(20000), 200, 2),
+            "ffno-small": (ffno3d(f3, 12, 12, 8, 32), _adamw(), _cosine(20000), 200, 2),
+            "fcno": (ffno3d(c3, 32, 12, 8, 64), _adamw(), _cosine(20000), 200, 2),
+        }
+        shared = ffno3d(f3, 32, 12, 8, 64)
+        shared["share_weight"] = True
+        variants["ffno-shared"] = (shared, _adamw(), _cosine(20000), 200, 2)
+        for name, (m1, m2, m3, w) in {
+            "geo-fno": ((12, 12, 8, 32)),
+            "geo-fno-big": ((32, 12, 8, 64)),
+        }.items():
+            model = {
+                "_target_": "fourierflow_tpu.models.FNOMesh3D",
+                "modes1": m1, "modes2": m2, "modes3": m3, "width": w,
+                "n_layers": n,
+            }
+            variants[name] = (model, _adam(), _step_lr(100), 501, 20)
+
+        for name, (model, opt, sch, epochs, bs) in variants.items():
+            b = dict(builder)
+            b["batch_size"] = bs
+            out[f"plasticity/{name}/{n}_layers"] = {
+                "wandb": _wandb("plasticity", f"{name}/{n}_layers"),
+                "builder": b,
+                "routine": {
+                    "_target_": "fourierflow_tpu.routines.StructuredMeshRoutine",
+                    "model": model, "optimizer": opt, "scheduler": sch,
+                },
+                "trainer": {"max_epochs": epochs},
+                "callbacks": _ckpt(),
+            }
+    return out
+
+
+# --- torus_kochkov ----------------------------------------------------------
+
+KOCH_STEP = 0.0002191401125550916  # stable_time_step for re_1000 sim
+
+
+def _kochkov_builder(size, k=20, train_paths=None, test_size=None, end=None):
+    """reference:experiments/torus_kochkov/ffno/grid_sizes/{size}/config.yaml"""
+    test_size = test_size or size
+    train_paths = train_paths or [
+        f"{DATA}/kolmogorov/re_1000/trajectories/train_{size}_4.nc"]
+    if len(train_paths) == 1:
+        train_ds = {
+            "_target_": "fourierflow_tpu.builders.KolmogorovMarkovDataset",
+            "path": train_paths[0], "k": k,
+        }
+    else:
+        train_ds = {
+            "_target_": "fourierflow_tpu.builders.KolmogorovMultiDataset",
+            "paths": train_paths, "k": k, "batch_size": 32,
+        }
+    def traj(split):
+        d = {
+            "_target_": "fourierflow_tpu.builders.KolmogorovTrajectoryDataset",
+            "init_path": f"{DATA}/kolmogorov/re_1000/initial_conditions/{split}_{test_size}.nc",
+            "path": f"{DATA}/kolmogorov/re_1000/trajectories/{split}_{test_size}_4.nc",
+            "corr_path": f"{DATA}/kolmogorov/re_1000/trajectories/{split}_32_4.nc",
+            "k": k,
+        }
+        if end:
+            d["end"] = end
+        return d
+    return {
+        "_target_": "fourierflow_tpu.builders.KolmogorovBuilder",
+        "train_dataset": train_ds,
+        "valid_dataset": traj("valid"),
+        "test_dataset": traj("test"),
+        "batch_size": 32,
+    }
+
+
+def _kochkov_ffno(size=64, k=20, n_layers=24, **routine_over):
+    conv = {
+        "_target_": "fourierflow_tpu.models.FNOFactorized2DBlock",
+        "modes": 16, "width": 64, "n_layers": n_layers, "input_dim": 5,
+        "share_weight": True, "factor": 4, "ff_weight_norm": True,
+        "gain": 0.1, "dropout": 0.0, "in_dropout": 0.0,
+    }
+    routine = {
+        "_target_": "fourierflow_tpu.routines.Grid2DMarkovRoutine",
+        "conv": conv,
+        # Simulation time per model step; grid-independent
+        # (reference grid_sizes/*/config.yaml:45 uses 64 * k for all sizes).
+        "step_size": KOCH_STEP * 64 * k,
+        "max_accumulations": 2421,
+        "noise_std": 0.01,
+        "use_velocity": True,
+        "domain": [[0, "${eval:2 * ${import:numpy.pi}}"],
+                   [0, "${eval:2 * ${import:numpy.pi}}"]],
+        "optimizer": _adamw(lr=0.0025),
+        "scheduler": _cosine(100000),
+    }
+    routine.update(routine_over)
+    return {
+        "wandb": _wandb("torus_kochkov", ""),
+        "builder": _kochkov_builder(size, k),
+        "routine": routine,
+        "trainer": {"max_epochs": 11, "log_every_n_steps": 100},
+        "callbacks": _ckpt("valid_time_until"),
+    }
+
+
+def _kochkov_family() -> Dict[str, dict]:
+    out = {}
+    for size in (64, 128, 256):
+        out[f"torus_kochkov/ffno/grid_sizes/{size}"] = _kochkov_ffno(size)
+        out[f"torus_kochkov/ffno/predictions/{size}"] = _kochkov_ffno(size)
+    for n in LAYERS:
+        out[f"torus_kochkov/ffno/layers/64/{n}_layers"] = _kochkov_ffno(n_layers=n)
+    for k in (0.25, 0.5, 1, 2, 5, 10, 20, 40, 80):
+        # Dataset stride is >= 1 snapshot; sub-snapshot step sizes reuse
+        # stride 1 with the smaller simulated step_size
+        # (reference step_sizes/64/0.25/config.yaml: k=1, step = 16*dt).
+        cfg = _kochkov_ffno(64, k=max(1, int(k)))
+        cfg["routine"]["step_size"] = KOCH_STEP * 64 * k
+        out[f"torus_kochkov/ffno/step_sizes/64/{k}"] = cfg
+    # Superresolution evaluation: train grids -> eval grid.
+    for train_key, train_sizes in {
+        "train_with_x64": [64],
+        "train_with_x32_x64": [32, 64],
+        "train_with_x32_x128": [32, 128],
+        "train_with_x64_x128": [64, 128],
+    }.items():
+        for eval_size in (32, 64, 128, 256):
+            paths = [f"{DATA}/kolmogorov/re_1000/trajectories/train_{s}_4.nc"
+                     for s in train_sizes]
+            cfg = _kochkov_ffno(64)
+            cfg["builder"] = _kochkov_builder(
+                64, train_paths=paths, test_size=eval_size, end=800)
+            out[f"torus_kochkov/ffno/superresolution/{train_key}/{eval_size}"] = cfg
+    for sizes in ([32, 64], [32, 128], [64, 128]):
+        key = "_".join(f"x{s}" for s in sizes)
+        paths = [f"{DATA}/kolmogorov/re_1000/trajectories/train_{s}_4.nc"
+                 for s in sizes]
+        cfg = _kochkov_ffno(max(sizes))
+        cfg["builder"] = _kochkov_builder(max(sizes), train_paths=paths)
+        out[f"torus_kochkov/ffno/multi_resolution/{key}"] = cfg
+    # Ablations.
+    out["torus_kochkov/ffno/ablation/no_positional"] = _kochkov_ffno(
+        use_position=False)
+    out["torus_kochkov/ffno/ablation/no_positional"]["routine"]["conv"]["input_dim"] = 3
+    sin = _kochkov_ffno(use_fourier_position=True)
+    sin["routine"]["conv"]["input_dim"] = 37
+    out["torus_kochkov/ffno/ablation/sinusoidal"] = sin
+    sf = _kochkov_ffno()
+    sf["routine"]["conv"]["share_fork"] = True
+    out["torus_kochkov/ffno/ablation/shared_feedforward"] = sf
+    vc = _kochkov_ffno(n_layers=16, learn_difference=True, use_velocity=False)
+    vc["routine"]["conv"]["input_dim"] = 3
+    out["torus_kochkov/ffno/ablation/vorticity_change"] = vc
+    nv = _kochkov_ffno(use_velocity=False)
+    nv["routine"]["conv"]["input_dim"] = 3
+    out["torus_kochkov/ffno/ablation/no_velocity"] = nv
+    nvp = _kochkov_ffno(use_velocity=False, use_position=False)
+    nvp["routine"]["conv"]["input_dim"] = 2
+    out["torus_kochkov/ffno/ablation/no_velocity_positional"] = nvp
+    for size in (64, 128, 256):
+        nw = _kochkov_ffno(size)
+        nw["routine"]["conv"]["share_weight"] = False
+        out[f"torus_kochkov/ffno/ablation/ffno-nw/{size}"] = nw
+        pp = _kochkov_ffno(size)
+        pp["routine"]["conv"]["_target_"] = "fourierflow_tpu.models.FNOPlus2DBlock"
+        pp["routine"]["conv"]["share_weight"] = False
+        out[f"torus_kochkov/ffno/ablation/fno++/{size}"] = pp
+    # FCNO on the Kolmogorov task.
+    for size in (64, 128):
+        fc = _kochkov_ffno(size)
+        fc["routine"]["conv"]["_target_"] = "fourierflow_tpu.models.CNOFactorized2DBlock"
+        out[f"torus_kochkov/fcno/grid_sizes/{size}"] = fc
+    # Learned interpolation rollouts (Kochkov et al. 2021 reproduction).
+    for size in (32, 64, 128, 256):
+        out[f"torus_kochkov/learned_interpolation/rollout/x{size}"] = {
+            "wandb": _wandb("torus_kochkov", f"learned_interpolation/x{size}"),
+            "builder": {
+                "_target_": "fourierflow_tpu.builders.KolmogorovBuilder",
+                "train_dataset": {
+                    "_target_": "fourierflow_tpu.builders.KolmogorovVelocityDataset",
+                    "path": f"{DATA}/kolmogorov/re_1000/trajectories/train_{size}_1.nc",
+                    "k": 2, "unroll_length": 32,
+                },
+                "valid_dataset": {
+                    "_target_": "fourierflow_tpu.builders.KolmogorovVelocityTrajectoryDataset",
+                    "init_path": f"{DATA}/kolmogorov/re_1000/initial_conditions/valid_{size}.nc",
+                    "corr_path": f"{DATA}/kolmogorov/re_1000/trajectories/valid_32_1.nc",
+                    "k": 2, "inner_steps": 16, "outer_steps": 100,
+                },
+                "test_dataset": {
+                    "_target_": "fourierflow_tpu.builders.KolmogorovVelocityTrajectoryDataset",
+                    "init_path": f"{DATA}/kolmogorov/re_1000/initial_conditions/test_{size}.nc",
+                    "corr_path": f"{DATA}/kolmogorov/re_1000/trajectories/test_32_1.nc",
+                    "k": 2, "inner_steps": 16, "outer_steps": 100,
+                },
+                "batch_size": 4,
+            },
+            "routine": {
+                "_target_": "fourierflow_tpu.routines.LearnedInterpolatorRoutine",
+                "size": size,
+                "dt": 0.007012483601762931,
+                "inner_steps": 16, "outer_steps": 100, "unroll_length": 32,
+                "optimizer": _adamw(lr=0.001),
+            },
+            "trainer": {"max_epochs": 10, "limit_train_batches": 4000},
+            "callbacks": [{
+                "_target_": "fourierflow_tpu.trainers.ModelCheckpoint",
+                "save_last": True,
+                "monitor": "valid_reduced_time_until",
+                "mode": "max",
+            }],
+        }
+    return out
+
+
+# --- torus_vis(_force) ------------------------------------------------------
+
+def _torus_vis(project, variant) -> dict:
+    """reference:experiments/torus_vis*/{variant}/config.yaml"""
+    fname = "torus_vis.h5" if project == "torus_vis" else "torus_vis_force.h5"
+    input_dim = {"01_baseline": 5, "02_no_mu": 4, "03_no_mu_force": 3,
+                 "06_shared_all_no_fork": 5}[variant]
+    routine = {
+        "_target_": "fourierflow_tpu.routines.Grid2DMarkovRoutine",
+        "conv": {
+            "_target_": "fourierflow_tpu.models.FNOFactorized2DBlock",
+            "modes": 16, "width": 64, "n_layers": 24, "input_dim": input_dim,
+            "share_weight": True, "factor": 4, "ff_weight_norm": True,
+            "gain": 0.1, "dropout": 0.0, "in_dropout": 0.0,
+        },
+        "n_steps": 10, "max_accumulations": 10000, "noise_std": 0.01,
+        "append_force": variant in ("01_baseline", "02_no_mu", "06_shared_all_no_fork"),
+        "append_mu": variant in ("01_baseline", "06_shared_all_no_fork"),
+        "optimizer": _adamw(lr=0.0025),
+        "scheduler": _cosine(100000),
+    }
+    if variant == "06_shared_all_no_fork":
+        routine["conv"]["share_fork"] = True
+        routine["noise_std"] = 0.02
+    return {
+        "wandb": _wandb(project, variant),
+        "builder": {
+            "_target_": "fourierflow_tpu.builders.NSContextualBuilder",
+            "data_path": f"{DATA}/torus/{fname}",
+            "ssr": 4, "k": 10, "batch_size": 19,
+        },
+        "routine": routine,
+        "trainer": {"max_epochs": 11, "log_every_n_steps": 100},
+        "callbacks": _ckpt(),
+    }
+
+
+# --- registry ---------------------------------------------------------------
+
+def _build_registry() -> Dict[str, dict]:
+    reg: Dict[str, dict] = {}
+    for n in LAYERS:
+        reg[f"torus_li/markov/{n}_layers"] = _torus_li_markov(n)
+        reg[f"torus_li/zongyi/{n}_layers"] = _torus_li_zongyi(n)
+    reg.update(_torus_li_ablations())
+    reg.update(_geo_mesh_family("airfoil", AIRFOIL_PATHS, 4))
+    reg.update(_geo_mesh_family("pipe", PIPE_PATHS, 0))
+    reg.update(_elasticity_family())
+    reg.update(_plasticity_family())
+    reg.update(_kochkov_family())
+    for v in ("01_baseline", "02_no_mu", "03_no_mu_force"):
+        reg[f"torus_vis/{v}"] = _torus_vis("torus_vis", v)
+    for v in ("01_baseline", "02_no_mu", "03_no_mu_force", "06_shared_all_no_fork"):
+        reg[f"torus_vis_force/{v}"] = _torus_vis("torus_vis_force", v)
+    reg["cylinder_flow/baseline"] = {
+        "wandb": _wandb("cylinder_flow", "baseline"),
+        "builder": {
+            "_target_": "fourierflow_tpu.builders.CylinderFlowBuilder",
+            "path": f"{DATA}/meshgraphnets/cylinder_flow/cylinder_flow.h5",
+            "batch_size": 4,
+        },
+        "routine": {
+            "_target_": "fourierflow_tpu.routines.MeshGraphNetRoutine",
+            "clip_val": 0.1,
+            "optimizer": _adamw(lr=0.001),
+            "scheduler": _cosine(150000),
+        },
+        "trainer": {"max_epochs": 10, "limit_train_batches": 150,
+                    "limit_val_batches": 20},
+        "callbacks": _ckpt(),
+    }
+    return reg
+
+
+_REGISTRY = None
+
+
+def _registry() -> Dict[str, dict]:
+    global _REGISTRY
+    if _REGISTRY is None:
+        _REGISTRY = _build_registry()
+    return _REGISTRY
+
+
+def experiment_names() -> List[str]:
+    return sorted(_registry())
+
+
+def get_experiment(name: str) -> dict:
+    """Return a deep copy of the named experiment config."""
+    reg = _registry()
+    key = name.strip("/").removesuffix("/config.yaml").removeprefix("experiments/").removeprefix("configs/")
+    if key not in reg:
+        import difflib
+
+        close = difflib.get_close_matches(key, reg, n=3)
+        raise KeyError(f"unknown experiment {name!r}; close matches: {close}")
+    return copy.deepcopy(reg[key])
+
+
+def materialize(name: str, out_dir: str = "configs") -> str:
+    """Write the named experiment to ``<out_dir>/<name>.yaml`` and return
+    the path (for users who want an editable file)."""
+    import os
+
+    import yaml
+
+    cfg = get_experiment(name)
+    path = os.path.join(out_dir, f"{name}.yaml")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f, sort_keys=False)
+    return path

@@ -1,0 +1,146 @@
+"""Registry-wide smoke tests: every experiment config must resolve — its
+builder target imports, and its routine node instantiates (constructing
+the actual model module) without needing data on disk."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fourierflow_tpu.commands.train import build_routine
+from fourierflow_tpu.config import _interpolate, resolve_symbol
+from fourierflow_tpu.experiments import experiment_names, get_experiment
+from fourierflow_tpu.routines.base import Routine
+
+
+def test_registry_covers_reference_families():
+    names = experiment_names()
+    assert len(names) >= 256
+    for required in [
+        "torus_li/markov/24_layers",
+        "torus_li/zongyi/4_layers",
+        "torus_li/ablation/teacher_forcing/24_layers",
+        "airfoil/ffno/8_layers",
+        "airfoil/fcno/4_layers",
+        "airfoil/geo-fno-big/24_layers",
+        "pipe/ffno-shared/16_layers",
+        "elasticity/geo-fno/4_layers",
+        "elasticity/ffno/24_layers",
+        "plasticity/fcno/12_layers",
+        "plasticity/geo-fno/4_layers",
+        "torus_kochkov/ffno/grid_sizes/64",
+        "torus_kochkov/ffno/superresolution/train_with_x64/256",
+        "torus_kochkov/ffno/step_sizes/64/0.25",
+        "torus_kochkov/ffno/ablation/fno++/128",
+        "torus_kochkov/fcno/grid_sizes/64",
+        "torus_kochkov/learned_interpolation/rollout/x64",
+        "torus_vis/01_baseline",
+        "torus_vis_force/06_shared_all_no_fork",
+        "cylinder_flow/baseline",
+    ]:
+        assert required in names, f"missing {required}"
+
+
+@pytest.mark.parametrize("name", experiment_names())
+def test_experiment_instantiates(name):
+    cfg = get_experiment(name)
+    cfg = _interpolate(cfg, root=cfg)
+
+    # Builder target must import (actual construction needs data files).
+    builder_target = cfg["builder"]["_target_"]
+    assert resolve_symbol(builder_target) is not None
+
+    # The routine — including its model — must construct.
+    routine = build_routine(cfg["routine"])
+    assert isinstance(routine, Routine)
+    assert routine.model is not None or hasattr(routine, "sim_grid")
+
+
+def test_train_command_resolves_registry_names():
+    from fourierflow_tpu.config import load_config
+
+    cfg = load_config("torus_li/markov/4_layers")
+    assert cfg["routine"]["conv"]["n_layers"] == 4
+    cfg = load_config("torus_li/markov/4_layers", ["routine.conv.n_layers=2"])
+    assert cfg["routine"]["conv"]["n_layers"] == 2
+    with pytest.raises(KeyError):
+        load_config("torus_li/markov/3_layers")
+
+
+def test_learned_interpolation_trains_on_synthetic_data():
+    """Short end-to-end run of the native learned-interpolation solver:
+    the training loss against a synthetic smooth trajectory decreases."""
+    from fourierflow_tpu.routines import LearnedInterpolatorRoutine
+
+    from fourierflow_tpu.routines.base import make_optimizer
+
+    routine = LearnedInterpolatorRoutine(
+        size=32, dt=0.001, unroll_length=2, features=8, n_cnn_layers=2,
+        inner_steps=2, outer_steps=3,
+        optimizer=make_optimizer(lr=3e-3, weight_decay=0.0),
+    )
+    rng = np.random.RandomState(0)
+    b, s, L = 2, 32, 2
+    inputs = {
+        "vx": rng.randn(b, s, s).astype(np.float32) * 0.1,
+        "vy": rng.randn(b, s, s).astype(np.float32) * 0.1,
+    }
+    # Student-teacher: targets from the same solver under different
+    # (teacher) parameters, so the loss is actually reducible.
+    state = routine.init(jax.random.PRNGKey(0), (inputs, None))
+    teacher = routine.init(jax.random.PRNGKey(7), (inputs, None))
+    _, (tvx, tvy) = routine._unroll_snapshots(
+        teacher.params, jnp.asarray(inputs["vx"]), jnp.asarray(inputs["vy"]),
+        L, 1, lambda a, b: (a, b),
+    )
+    outputs = {
+        "vx": np.moveaxis(np.asarray(tvx), 0, -1),
+        "vy": np.moveaxis(np.asarray(tvy), 0, -1),
+    }
+
+    step = jax.jit(routine.train_step)
+    losses = []
+    for _ in range(30):
+        state, metrics = step(state, (inputs, outputs))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < 0.5 * losses[0]
+
+
+def test_learned_interpolation_projection_is_divergence_free():
+    from fourierflow_tpu.models.learned_interpolation import pressure_projection
+
+    rng = np.random.RandomState(0)
+    u = jnp.asarray(rng.randn(16, 16).astype(np.float32))
+    v = jnp.asarray(rng.randn(16, 16).astype(np.float32))
+    h = 2 * np.pi / 16
+    u2, v2 = pressure_projection(u, v, h)
+    div = (u2 - jnp.roll(u2, 1, 0)) / h + (v2 - jnp.roll(v2, 1, 1)) / h
+    np.testing.assert_allclose(np.asarray(div), 0.0, atol=1e-4)
+    # Idempotent: projecting again changes nothing.
+    u3, v3 = pressure_projection(u2, v2, h)
+    np.testing.assert_allclose(np.asarray(u3), np.asarray(u2), atol=1e-5)
+
+
+def test_learned_interpolation_valid_step():
+    from fourierflow_tpu.routines import LearnedInterpolatorRoutine
+
+    routine = LearnedInterpolatorRoutine(
+        size=32, dt=0.001, unroll_length=2, features=8, n_cnn_layers=2,
+        inner_steps=2, outer_steps=3,
+    )
+    rng = np.random.RandomState(0)
+    inputs = {
+        "vx": rng.randn(2, 32, 32).astype(np.float32) * 0.1,
+        "vy": rng.randn(2, 32, 32).astype(np.float32) * 0.1,
+    }
+    state = routine.init(jax.random.PRNGKey(0), (inputs, None))
+    batch = {
+        "vx": inputs["vx"],
+        "vy": inputs["vy"],
+        "targets": rng.randn(2, 32, 32, 3).astype(np.float32),
+        "times": np.tile(np.arange(3, dtype=np.float32), (2, 1)),
+    }
+    logs = jax.jit(routine.valid_step)(state, batch)
+    assert np.isfinite(float(logs["loss"]))
+    assert logs["correlations"].shape == (3,)
