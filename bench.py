@@ -42,6 +42,8 @@ def main():
         factor=4,
         ff_weight_norm=True,
         gain=0.1,
+        # Mixed precision: bf16 activations/matmuls, f32 params + loss.
+        dtype=jnp.bfloat16,
     )
     routine = Grid2DMarkovRoutine(
         model,

@@ -54,6 +54,22 @@ def main(argv=None):
         p_ns.add_argument(f"--{name}", type=typ, default=default)
     p_ns.add_argument("--varying-force", action="store_true")
 
+    p_infer = sub.add_parser("infer", help="jitted rollout inference benchmark")
+    _add_common(p_infer)
+    p_infer.add_argument("--checkpoint-path", default=None)
+    p_infer.add_argument("--n-steps", type=int, default=100)
+
+    p_sample = sub.add_parser("sample", help="pickle one (batch, pred) pair")
+    _add_common(p_sample)
+    p_sample.add_argument("--checkpoint-path", default=None)
+    p_sample.add_argument("--out-path", default=None)
+
+    p_plot = sub.add_parser("plot", help="figures/tables from local run logs")
+    p_plot.add_argument("kind", choices=["layers", "correlation", "table", "heatmap"])
+    p_plot.add_argument("--root", default="configs")
+    p_plot.add_argument("--sample-path", default=None)
+    p_plot.add_argument("--out-path", default=None)
+
     p_conv = sub.add_parser("convert", help="convert meshgraphnets TFRecords to HDF5")
     conv_sub = p_conv.add_subparsers(dest="converter", required=True)
     p_cf = conv_sub.add_parser("cylinder-flow")
@@ -95,6 +111,27 @@ def main(argv=None):
         from .predict import main as predict_main
 
         predict_main(args.config_path, args.checkpoint_path, overrides=args.overrides)
+    elif args.command == "infer":
+        from .infer import main as infer_main
+
+        infer_main(args.config_path, args.checkpoint_path,
+                   overrides=args.overrides, n_steps=args.n_steps, trial=args.trial)
+    elif args.command == "sample":
+        from .sample import main as sample_main
+
+        sample_main(args.config_path, args.checkpoint_path,
+                    overrides=args.overrides, trial=args.trial, out_path=args.out_path)
+    elif args.command == "plot":
+        from . import plot as plot_mod
+
+        if args.kind == "heatmap":
+            plot_mod.heatmap(args.sample_path)
+        elif args.kind == "table":
+            plot_mod.table(args.root, out_path=args.out_path)
+        elif args.kind == "layers":
+            plot_mod.layers(args.root, out_path=args.out_path or "layers.png")
+        else:
+            plot_mod.correlation(args.root, out_path=args.out_path or "correlation.png")
     elif args.command == "convert":
         if args.converter == "cylinder-flow":
             from .convert import cylinder_flow

@@ -66,6 +66,7 @@ class WNLinear(nn.Module):
     features: int
     use_bias: bool = True
     wnorm: bool = False
+    dtype: Optional[jnp.dtype] = None  # compute dtype; params stay f32
 
     @nn.compact
     def __call__(self, x):
@@ -80,6 +81,9 @@ class WNLinear(nn.Module):
             kernel = g * v / jnp.maximum(norm, 1e-12)
         else:
             kernel = v
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
         y = x @ kernel
         if self.use_bias:
             b = self.param(
@@ -89,6 +93,8 @@ class WNLinear(nn.Module):
                 ),
                 (self.features,),
             )
+            if self.dtype is not None:
+                b = b.astype(self.dtype)
             y = y + b
         return y
 
@@ -141,12 +147,13 @@ class FeedForward(nn.Module):
     n_layers: int = 2
     layer_norm: bool = False
     dropout: float = 0.0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         for i in range(self.n_layers):
             out_dim = self.dim if i == self.n_layers - 1 else self.dim * self.factor
-            x = WNLinear(out_dim, wnorm=self.ff_weight_norm)(x)
+            x = WNLinear(out_dim, wnorm=self.ff_weight_norm, dtype=self.dtype)(x)
             if self.dropout > 0.0:
                 x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
             if i < self.n_layers - 1:

@@ -12,7 +12,10 @@ grid_2d.py:117-132) is expressed by creating the shared params/modules once
 in the block scope.
 """
 
+from typing import Optional
+
 import flax.linen as nn
+import jax.numpy as jnp
 
 from ..layers import FeedForward, WNLinear, xavier_normal_init
 from ..ops.spectral import spectral_lowpass_axis, spectral_mix_axis
@@ -102,11 +105,14 @@ class FNOFactorized2DBlock(nn.Module):
     use_fork: bool = False
     mode: str = "full"
     spectral_impl: str = "auto"
+    dtype: Optional[jnp.dtype] = None  # compute dtype (e.g. bf16); params f32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True, **kwargs):
         # x: [batch, sx, sy, input_dim]
-        x = WNLinear(self.width, wnorm=self.ff_weight_norm, name="in_proj")(x)
+        x = WNLinear(
+            self.width, wnorm=self.ff_weight_norm, dtype=self.dtype, name="in_proj"
+        )(x)
         if self.in_dropout > 0.0:
             x = nn.Dropout(self.in_dropout, deterministic=deterministic)(x)
 
@@ -125,6 +131,7 @@ class FNOFactorized2DBlock(nn.Module):
                 self.n_ff_layers,
                 self.layer_norm,
                 self.dropout,
+                dtype=self.dtype,
                 name=name,
             )
 
@@ -135,8 +142,8 @@ class FNOFactorized2DBlock(nn.Module):
 
         out_head = nn.Sequential(
             [
-                WNLinear(128, wnorm=self.ff_weight_norm),
-                WNLinear(1, wnorm=self.ff_weight_norm),
+                WNLinear(128, wnorm=self.ff_weight_norm, dtype=self.dtype),
+                WNLinear(1, wnorm=self.ff_weight_norm, dtype=self.dtype),
             ],
             name="out",
         )
@@ -172,4 +179,8 @@ class FNOFactorized2DBlock(nn.Module):
         if not self.use_fork:
             forecast = out_head(b)
 
+        if self.dtype is not None:
+            # Mixed precision: hand a f32 forecast back to the loss/rollout.
+            forecast = jnp.asarray(forecast, jnp.float32)
+            forecast_list = [jnp.asarray(f, jnp.float32) for f in forecast_list]
         return {"forecast": forecast, "forecast_list": forecast_list}

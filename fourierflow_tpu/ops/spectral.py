@@ -135,13 +135,14 @@ def spectral_mix_axis(
     """
     n = x.shape[axis % x.ndim]
     modes = weight.shape[2]
+    weight = weight.astype(x.dtype)  # mixed precision: follow activations
     wr = weight[..., 0]
     wi = weight[..., 1]
     xm = _moveaxis_in(x, axis)  # [..., n, i]
     impl = resolve_impl(impl, n)
 
     if impl == "dft":
-        er, ei = (jnp.asarray(m) for m in rdft_basis(n, modes, dtype=str(x.dtype)))
+        er, ei = (jnp.asarray(m).astype(x.dtype) for m in rdft_basis(n, modes))
         xr = jnp.einsum("...ni,nm->...mi", xm, er, precision=precision)
         xi = jnp.einsum("...ni,nm->...mi", xm, ei, precision=precision)
     else:
@@ -157,7 +158,7 @@ def spectral_mix_axis(
     )
 
     if impl == "dft":
-        cr, ci = (jnp.asarray(m) for m in irdft_basis(n, modes, dtype=str(x.dtype)))
+        cr, ci = (jnp.asarray(m).astype(x.dtype) for m in irdft_basis(n, modes))
         out = jnp.einsum("...mo,mn->...no", yr, cr, precision=precision) + jnp.einsum(
             "...mo,mn->...no", yi, ci, precision=precision
         )

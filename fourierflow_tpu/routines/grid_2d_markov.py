@@ -14,6 +14,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..layers import (
     encode_positions,
@@ -52,6 +53,8 @@ class Grid2DMarkovRoutine(Routine):
         step_size: float = 1.0,
         k_max: int = 32,
         domain=((0, TWO_PI), (0, TWO_PI)),
+        shuffle_grid: bool = False,
+        grid_size=(64,),
         optimizer=None,
         conv=None,
         **kwargs,
@@ -77,6 +80,19 @@ class Grid2DMarkovRoutine(Routine):
         self.step_size = step_size
         self.k_max = k_max
         self.domain = domain
+        # shuffle_xy_grid ablation (reference grid_2d_markov.py:75-80):
+        # fixed random spatial permutation applied to inputs, inverted on
+        # outputs — tests whether the operator exploits grid structure.
+        self.shuffle_grid = shuffle_grid
+        if shuffle_grid:
+            if isinstance(grid_size, int):
+                grid_size = (grid_size,)
+            assert len(grid_size) == 1, "shuffle_grid only supports one size"
+            rs = np.random.RandomState(0)
+            self.x_idx = jnp.asarray(rs.permutation(grid_size[0]))
+            self.x_inv = jnp.argsort(self.x_idx)
+            self.y_idx = jnp.asarray(rs.permutation(grid_size[0]))
+            self.y_inv = jnp.argsort(self.y_idx)
 
     # --- features ---------------------------------------------------------
     def _pos_feats(self, dim_sizes, dtype):
@@ -147,9 +163,13 @@ class Grid2DMarkovRoutine(Routine):
 
         targets = batch["dy"] if self.learn_difference else batch["y"]
         b = x.shape[0]
+        if self.shuffle_grid:
+            x = x[:, self.x_idx][:, :, self.y_idx]
 
         def loss_fn(params):
             im = self.model.apply(params, x)["forecast"]
+            if self.shuffle_grid:
+                im = im[:, :, self.y_inv][:, self.x_inv]
             if self.should_normalize:
                 im = normalizer_inverse(norm, im, channel=0)
             return lp_loss_rel(im.reshape(b, -1), targets.reshape(b, -1))

@@ -70,3 +70,17 @@ def step_lr(lr: float, step_size: int, gamma: float = 0.5, steps_per_epoch: int 
         return lr * gamma ** jnp.floor(epoch / step_size)
 
     return schedule
+
+
+def swa_lr(lr: float, swa_lr: float, swa_step_start: int, anneal_steps: int = 1000):
+    """SWALR-style schedule (reference:fourierflow/schedulers — torch SWALR):
+    constant ``lr`` until ``swa_step_start``, then a cosine anneal down to
+    the (typically smaller) constant ``swa_lr``."""
+    import jax.numpy as jnp
+
+    def schedule(step):
+        t = jnp.clip((step - swa_step_start) / max(anneal_steps, 1), 0.0, 1.0)
+        annealed = swa_lr + (lr - swa_lr) * 0.5 * (1 + jnp.cos(jnp.pi * t))
+        return jnp.where(step < swa_step_start, lr, annealed)
+
+    return schedule

@@ -1,4 +1,15 @@
-from .callbacks import Callback, JSONLogger, ModelCheckpoint
+from .callbacks import (
+    Callback,
+    JSONLogger,
+    ModelCheckpoint,
+    StochasticWeightAveraging,
+)
 from .trainer import Trainer
 
-__all__ = ["Callback", "JSONLogger", "ModelCheckpoint", "Trainer"]
+__all__ = [
+    "Callback",
+    "JSONLogger",
+    "ModelCheckpoint",
+    "StochasticWeightAveraging",
+    "Trainer",
+]

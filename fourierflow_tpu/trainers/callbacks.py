@@ -122,3 +122,51 @@ class JSONLogger(Callback):
 
     def on_test_end(self, trainer, routine, state):
         self._write(trainer)
+
+
+class StochasticWeightAveraging(Callback):
+    """Step-based stochastic weight averaging (equivalent of
+    reference:fourierflow/callbacks/stochastic_weight_averaging.py): from
+    ``swa_step_start`` (a fraction of total training steps, or an absolute
+    step) onward, keep a running average of the parameters; at fit end the
+    averaged parameters replace the trained ones. The torch version also
+    anneals the LR with SWALR — here use
+    ``fourierflow_tpu.schedulers.swa_lr`` as the optimizer schedule for
+    the same effect.
+    """
+
+    def __init__(self, swa_step_start=0.7, total_steps=None):
+        self.swa_step_start = swa_step_start
+        self.total_steps = total_steps
+        self.avg_params = None
+        self.n_averaged = 0
+
+    def _start_step(self, trainer):
+        if isinstance(self.swa_step_start, float) and self.swa_step_start <= 1.0:
+            total = self.total_steps
+            if total is None:
+                # Estimate from progress so far: steps/epoch * max_epochs.
+                per_epoch = max(trainer.global_step, 1) / max(trainer.current_epoch + 1, 1)
+                total = per_epoch * trainer.max_epochs
+            return self.swa_step_start * total
+        return float(self.swa_step_start)
+
+    def on_epoch_end(self, trainer, routine, state):
+        import jax
+
+        if trainer.global_step < self._start_step(trainer):
+            return None
+        n = self.n_averaged
+        if self.avg_params is None:
+            self.avg_params = jax.tree.map(lambda p: p, state.params)
+        else:
+            self.avg_params = jax.tree.map(
+                lambda a, p: (a * n + p) / (n + 1), self.avg_params, state.params
+            )
+        self.n_averaged = n + 1
+        return None
+
+    def on_fit_end(self, trainer, routine, state):
+        if self.avg_params is None:
+            return None
+        return state.replace(params=self.avg_params)

@@ -103,11 +103,14 @@ class Trainer:
             return shard_batch(batch, self.mesh)
         return batch
 
-    def _hook(self, name, *args):
+    def _hook(self, name, routine=None, state=None, allow_replace=False):
         for cb in self.callbacks:
             fn = getattr(cb, name, None)
             if fn:
-                fn(self, *args)
+                ret = fn(self, routine, state)
+                if allow_replace and ret is not None:
+                    state = ret
+        return state
 
     # ------------------------------------------------------------------
     def fit(self, routine: Routine, builder, state: Optional[TrainState] = None):
@@ -178,9 +181,9 @@ class Trainer:
 
             self.logs["epoch"] = epoch
             self.logs["epoch_time"] = time.time() - t0
-            self._hook("on_epoch_end", routine, state)
+            state = self._hook("on_epoch_end", routine, state, allow_replace=True)
 
-        self._hook("on_fit_end", routine, state)
+        state = self._hook("on_fit_end", routine, state, allow_replace=True)
         return state
 
     # ------------------------------------------------------------------
