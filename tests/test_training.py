@@ -163,3 +163,46 @@ def test_fast_loop_matches_host_loop_learning(synthetic_dataset):
         losses[name] = trainer.logs["train_loss"]
     assert np.isfinite(losses["fast"])
     assert abs(losses["fast"] - losses["host"]) < 0.5 * max(losses.values())
+
+
+def test_super_resolution_rollout(synthetic_dataset):
+    """Resolution invariance (reference routines/base.py:89-102 strips
+    per-resolution wavenumber buffers so a model trained at one grid can
+    be evaluated at another): train at 16^2, roll out at 32^2 with the
+    same parameters — all spectral buffers here are built on the fly."""
+    import jax.numpy as jnp
+
+    routine = _markov_routine(n_steps=3)
+    builder = NSMarkovBuilder(synthetic_dataset, train_size=16, test_size=4, batch_size=8)
+    state = routine.init(jax.random.PRNGKey(0), builder.sample_batch())
+    state = routine.accumulate_step(state, builder.sample_batch())
+    state, _ = jax.jit(routine.train_step)(
+        state, builder.sample_batch(), jax.random.PRNGKey(1)
+    )
+
+    # Evaluate the SAME state on a double-resolution trajectory.
+    rng = np.random.RandomState(0)
+    hi = jnp.asarray(rng.randn(2, 32, 32, 6).astype(np.float32))
+    preds, step_losses, yy = jax.jit(routine.rollout)(state, {"data": hi})
+    assert preds.shape == (2, 32, 32, 3)
+    assert np.isfinite(np.asarray(preds)).all()
+
+
+def test_markov_training_bf16(synthetic_dataset):
+    """Mixed-precision training (bf16 compute, f32 params) runs and the
+    loss decreases, with f32 parameters preserved."""
+    import jax.numpy as jnp
+
+    routine = _markov_routine(lr=3e-3, dtype=jnp.bfloat16)
+    builder = NSMarkovBuilder(synthetic_dataset, train_size=16, test_size=4, batch_size=8)
+    state = routine.init(jax.random.PRNGKey(0), builder.sample_batch())
+    assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(state.params))
+    state = routine.accumulate_step(state, builder.sample_batch())
+    step = jax.jit(routine.train_step)
+    losses = []
+    for i in range(30):
+        batch = next(builder.train_batches(np.random.default_rng(i)))
+        state, m = step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(m["train_loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
