@@ -152,6 +152,8 @@ def generate_kolmogorov(
     outer_steps: int = 200,
     warmup_steps: int = 40,
     out_vorticity: bool = True,
+    mesh=None,
+    spatial_axis: str = "spatial",
 ):
     """Simulate one Kolmogorov trajectory and downsample snapshots to all
     requested output grids (reference builders/kolmogorov.py:328-405).
@@ -159,6 +161,14 @@ def generate_kolmogorov(
     Returns ``(outs, elapsed)`` where outs maps (size, k) to dicts of
     stacked snapshot arrays [outer_steps, size, size] (or single fields
     when only warming up).
+
+    For very large sim grids (the reference generates at 2048^2,
+    data/kolmogorov/re_1000/trajectories/train.yaml) pass a
+    ``jax.sharding.Mesh``: the spectral state is sharded along its first
+    spatial axis and the matmul-DFT formulation lets XLA insert the
+    all-gather/reduce-scatter collectives for the cross-axis transforms
+    over ICI — no code changes in the solver (SURVEY.md §2.7: the
+    reference instead fans out whole trajectories with dask-cuda).
     """
     if method != "pseudo_spectral":
         raise NotImplementedError(
@@ -187,6 +197,12 @@ def generate_kolmogorov(
         vorticity0 = jnp.asarray(initial_field["vorticity"])
 
     state = rfft2(jnp.asarray(vorticity0), axes=(0, 1))
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        state = jax.device_put(
+            state, NamedSharding(mesh, PartitionSpec(spatial_axis, None))
+        )
     outer_step_fn = repeated(step_fn, inner_steps)
 
     if warmup_steps > 0:

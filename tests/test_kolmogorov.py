@@ -250,3 +250,47 @@ def test_kolmogorov_datasets_and_training(kolmogorov_files):
     state = trainer.fit(routine, builder)
     assert np.isfinite(trainer.logs["valid_loss"])
     assert "valid_time_until" in trainer.logs
+
+
+def test_sharded_generation_matches_unsharded():
+    """Spatial-axis sharding of the pseudo-spectral solver: the same
+    trajectory generated on an 8-device mesh (vorticity sharded along x)
+    matches the single-device result — XLA inserts the collectives for
+    the cross-axis DFT matmuls (SURVEY.md §2.7)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from fourierflow_tpu.builders.kolmogorov import generate_kolmogorov
+    from fourierflow_tpu.builders.kolmogorov import (
+        downsample_vorticity_snapshot,
+    )
+    from fourierflow_tpu.utils.equations import NavierStokes2D, crank_nicolson_rk4
+    from fourierflow_tpu.utils.forcings import kolmogorov_forcing_fn
+    from fourierflow_tpu.utils.grids import Grid
+
+    grid = Grid((32, 32), domain=((0, 2 * np.pi), (0, 2 * np.pi)))
+    eq = NavierStokes2D(
+        viscosity=1e-3, grid=grid, drag=0.1, smooth=True,
+        forcing_fn=kolmogorov_forcing_fn,
+    )
+    step_fn = crank_nicolson_rk4(eq, 0.005)
+    kwargs = dict(
+        sim_grid=grid,
+        out_sizes=[{"size": 32, "k": 1}],
+        method="pseudo_spectral",
+        step_fn=step_fn,
+        downsample_fn=downsample_vorticity_snapshot,
+        seed=jax.random.PRNGKey(0),
+        inner_steps=2,
+        outer_steps=3,
+        warmup_steps=0,
+    )
+    ref, _ = generate_kolmogorov(**kwargs)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("spatial",))
+    shd, _ = generate_kolmogorov(mesh=mesh, **kwargs)
+
+    for key in ref:
+        np.testing.assert_allclose(
+            ref[key]["vorticity"], shd[key]["vorticity"], rtol=1e-4, atol=1e-5
+        )
