@@ -33,7 +33,10 @@ def main(argv=None):
     p_test.add_argument("--checkpoint-path", required=True)
 
     p_predict = sub.add_parser("predict", help="inference timing benchmark")
-    _add_common(p_predict)
+    p_predict.add_argument("config_path", nargs="?", default=None,
+                           help="experiment config (omit to time the DNS baseline)")
+    p_predict.add_argument("overrides", nargs="*")
+    p_predict.add_argument("--trial", type=int, default=0)
     p_predict.add_argument("--checkpoint-path", default=None)
 
     p_gen = sub.add_parser("generate", help="generate datasets")

@@ -15,7 +15,35 @@ from .train import build_routine
 logger = logging.getLogger(__name__)
 
 
-def main(config_path, checkpoint_path=None, overrides=None, trial: int = 0):
+def time_dns_baseline(n_samples: int = 32, s: int = 64, steps: int = 10,
+                      delta_t: float = 1e-4, inner: int = 100):
+    """With no config, time the Crank-Nicolson DNS itself — the reference's
+    numerical-solver baseline for the inference-speedup claim
+    (predict.py:32-44). Returns seconds / sample / simulation-second."""
+    from ..builders.synthetic import gaussian_random_field, solve_navier_stokes_2d
+
+    key = jax.random.PRNGKey(0)
+    w0 = np.asarray(gaussian_random_field(key, n_samples, s, n_dims=2))
+    # warmup (compile)
+    solve_navier_stokes_2d(w0[:1], 1e-5, t_end=delta_t * inner, delta_t=delta_t,
+                           record_steps=1, force="li")
+    t0 = time.perf_counter()
+    sol, _ = solve_navier_stokes_2d(
+        w0, 1e-5, t_end=delta_t * inner * steps, delta_t=delta_t,
+        record_steps=steps, force="li",
+    )
+    _ = float(np.sum(sol))
+    elapsed = time.perf_counter() - t0
+    sim_seconds = delta_t * inner * steps
+    per = elapsed / n_samples / sim_seconds
+    logger.info("DNS baseline: %.4f s total, %.6f s/sample/sim-second", elapsed, per)
+    print({"elapsed": elapsed, "inference_time": per, "mode": "dns_baseline"})
+    return per
+
+
+def main(config_path=None, checkpoint_path=None, overrides=None, trial: int = 0):
+    if config_path is None:
+        return time_dns_baseline()
     cfg = load_config(config_path, overrides)
     builder = instantiate(cfg["builder"])
     routine = build_routine(cfg["routine"], builder)

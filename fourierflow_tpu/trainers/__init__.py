@@ -3,6 +3,7 @@ from .callbacks import (
     JSONLogger,
     ModelCheckpoint,
     StochasticWeightAveraging,
+    WandbLogger,
 )
 from .trainer import Trainer
 
@@ -11,5 +12,6 @@ __all__ = [
     "JSONLogger",
     "ModelCheckpoint",
     "StochasticWeightAveraging",
+    "WandbLogger",
     "Trainer",
 ]

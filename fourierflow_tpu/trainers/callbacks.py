@@ -170,3 +170,41 @@ class StochasticWeightAveraging(Callback):
         if self.avg_params is None:
             return None
         return state.replace(params=self.avg_params)
+
+
+class WandbLogger(Callback):
+    """Periodic metric logging to Weights & Biases (equivalent of
+    reference:fourierflow/callbacks/wandb_logger.py). wandb is optional in
+    this image; when unavailable the callback degrades to a no-op with a
+    one-time warning, and JSONLogger remains the canonical local log."""
+
+    def __init__(self, project=None, group=None, name=None, config=None):
+        try:
+            import wandb
+
+            self._run = wandb.init(
+                project=project, group=group, name=name, config=config
+            )
+            self._wandb = wandb
+        except Exception as e:  # ImportError or offline init failure
+            import logging
+
+            logging.getLogger(__name__).warning("wandb unavailable: %s", e)
+            self._run = None
+            self._wandb = None
+
+    def _log(self, trainer):
+        if self._run is None:
+            return
+        scalars = {
+            k: float(v)
+            for k, v in trainer.logs.items()
+            if isinstance(v, (int, float))
+        }
+        self._wandb.log(scalars, step=trainer.global_step)
+
+    def on_epoch_end(self, trainer, routine, state):
+        self._log(trainer)
+
+    def on_test_end(self, trainer, routine, state):
+        self._log(trainer)
