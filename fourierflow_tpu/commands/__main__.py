@@ -27,6 +27,10 @@ def main(argv=None):
     _add_common(p_train)
     p_train.add_argument("--checkpoint-path", default=None)
     p_train.add_argument("--no-test", action="store_true")
+    p_train.add_argument("--force", action="store_true",
+                         help="overwrite existing trial results")
+    p_train.add_argument("--resume", action="store_true",
+                         help="resume from the trial's last checkpoint")
 
     p_test = sub.add_parser("test", help="evaluate a checkpoint")
     _add_common(p_test)
@@ -105,6 +109,8 @@ def main(argv=None):
             trial=args.trial,
             checkpoint_path=args.checkpoint_path,
             no_test=args.no_test,
+            force=args.force,
+            resume=args.resume,
         )
     elif args.command == "test":
         from .test import main as test_main

@@ -73,12 +73,26 @@ def build_trainer(trainer_cfg: dict, callbacks=()):
     )
 
 
+class ExistingExperimentFound(RuntimeError):
+    """Raised when results for this trial already exist and neither
+    ``force`` nor ``resume`` was requested
+    (reference utils/path.py:55-72, utils/exceptions.py)."""
+
+
+def _existing_trial_dirs(config_dir: str, trial: int):
+    import glob
+
+    return sorted(glob.glob(os.path.join(config_dir, "checkpoints", f"trial-{trial}-*")))
+
+
 def main(
     config_path: str,
     overrides: Optional[List[str]] = None,
     trial: int = 0,
     checkpoint_path: Optional[str] = None,
     no_test: bool = False,
+    force: bool = False,
+    resume: bool = False,
 ):
     cfg = load_config(config_path, overrides)
     seed = 7231 + trial  # reference commands/train.py:56-58
@@ -88,6 +102,23 @@ def main(
     routine = build_routine(cfg["routine"], builder)
 
     config_dir = os.path.dirname(os.path.abspath(config_path))
+    existing = _existing_trial_dirs(config_dir, trial)
+    if existing and not (force or resume or checkpoint_path):
+        raise ExistingExperimentFound(
+            f"results for trial {trial} already exist under "
+            f"{os.path.join(config_dir, 'checkpoints')}; pass --force to "
+            f"overwrite or --resume to continue from the last checkpoint"
+        )
+    if resume and existing and not checkpoint_path:
+        # Epoch-granularity resume from the newest last.ckpt
+        # (reference commands/train.py:74-79 — mid-epoch resume is
+        # unsupported there too).
+        for d in reversed(existing):
+            cand = os.path.join(d, "last.ckpt")
+            if os.path.exists(cand):
+                checkpoint_path = cand
+                logger.info("resuming from %s", cand)
+                break
     run_dir = os.path.join(config_dir, "checkpoints", f"trial-{trial}-{int(time.time())}")
 
     callbacks = instantiate(cfg.get("callbacks", [])) or []

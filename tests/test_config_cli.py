@@ -122,3 +122,55 @@ def test_cli_generate_and_train_end_to_end(tmp_path):
     assert len(trials) == 1
     files = os.listdir(os.path.join(ckpt_root, trials[0]))
     assert "best.ckpt" in files and "metrics.jsonl" in files
+
+
+def test_force_resume_guard(tmp_path):
+    """Run-directory hygiene (reference utils/path.py:55-72): a second run
+    of the same trial must raise unless --force or --resume is given, and
+    --resume restarts from last.ckpt."""
+    import pytest
+
+    from fourierflow_tpu.builders.synthetic import (
+        gaussian_random_field,
+        solve_navier_stokes_2d,
+    )
+    from fourierflow_tpu.commands.train import ExistingExperimentFound
+    from fourierflow_tpu.commands.train import main as train_main
+
+    import h5py
+    import jax
+
+    w0 = gaussian_random_field(jax.random.PRNGKey(0), 12, 16, n_dims=2)
+    sol, _ = solve_navier_stokes_2d(
+        np.asarray(w0), 1e-3, t_end=1.0, delta_t=1e-2, record_steps=8, force="li"
+    )
+    data_path = tmp_path / "ns.h5"
+    with h5py.File(data_path, "w") as f:
+        f.create_dataset("u", data=sol)
+
+    cfg_path = tmp_path / "exp" / "config.yaml"
+    cfg_path.parent.mkdir()
+    cfg_path.write_text(f"""
+builder:
+  _target_: fourierflow_tpu.builders.NSMarkovBuilder
+  data_path: {data_path}
+  train_size: 8
+  test_size: 4
+  batch_size: 4
+routine:
+  _target_: fourierflow_tpu.routines.Grid2DMarkovRoutine
+  conv:
+    _target_: fourierflow_tpu.models.FNOFactorized2DBlock
+    modes: 4
+    width: 8
+    n_layers: 1
+    input_dim: 3
+  n_steps: 3
+  max_accumulations: 50
+trainer:
+  max_epochs: 2
+""")
+    train_main(str(cfg_path), no_test=True)
+    with pytest.raises(ExistingExperimentFound):
+        train_main(str(cfg_path), no_test=True)
+    train_main(str(cfg_path), no_test=True, resume=True)  # continues
