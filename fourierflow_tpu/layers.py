@@ -26,6 +26,8 @@ __all__ = [
     "normalizer_accumulate",
     "normalizer_apply",
     "normalizer_inverse",
+    "LpLoss",
+    "GehringLinear",
 ]
 
 
@@ -277,3 +279,25 @@ def normalizer_inverse(state: NormalizerState, x: jax.Array, channel: Optional[i
     if channel is None:
         return x * state.std + state.mean
     return x * state.std[channel] + state.mean[channel]
+
+
+class LpLoss:
+    """Class-style API over the relative/absolute Lp losses (equivalent of
+    reference:fourierflow/modules/loss.py:4-49; ``rel`` is the headline
+    N-MSE metric). Functional forms: ``lp_loss_rel`` / ``lp_loss_abs``."""
+
+    def __init__(self, d: int = 2, p: int = 2, size_average: bool = True,
+                 reduction: bool = True):
+        self.d = d
+        self.p = p
+        self.reduction = reduction
+        self.size_average = size_average
+
+    def abs(self, x, y):
+        return lp_loss_abs(x, y, d=self.d, p=self.p, reduce_mean=self.size_average)
+
+    def rel(self, x, y):
+        return lp_loss_rel(x, y, p=self.p, reduce_mean=self.size_average)
+
+    def __call__(self, x, y):
+        return self.rel(x, y)

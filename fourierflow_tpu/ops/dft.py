@@ -24,6 +24,12 @@ __all__ = [
     "cdft_basis",
     "dct2_basis",
     "idct2_basis",
+    "dct",
+    "idct",
+    "dct_2d",
+    "idct_2d",
+    "dct_3d",
+    "idct_3d",
 ]
 
 
@@ -115,3 +121,46 @@ def idct2_basis(n: int, modes: int, norm: str = "ortho", dtype: str = "float32")
     modes are zero (the orthonormal DCT-II inverse is its transpose).
     """
     return dct2_basis(n, modes, norm=norm, dtype=dtype).T.copy()
+
+
+def dct(x, axis: int = -1, norm: str = "ortho"):
+    """DCT-II along ``axis`` via the basis matmul (user-facing equivalent
+    of reference:fourierflow/modules/dct.py:16-60, which uses FFT tricks;
+    on TPU a dense matmul is both simpler and MXU-native)."""
+    import jax.numpy as jnp
+
+    n = x.shape[axis]
+    d, _ = dct2_basis(n, n, norm=norm), None
+    xm = jnp.moveaxis(x, axis, -1)
+    out = xm @ jnp.asarray(d).astype(x.dtype)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def idct(x, axis: int = -1, norm: str = "ortho"):
+    """Inverse DCT-II (DCT-III) along ``axis``
+    (reference modules/dct.py:63-106)."""
+    import jax.numpy as jnp
+
+    n = x.shape[axis]
+    di = idct2_basis(n, n, norm=norm)
+    xm = jnp.moveaxis(x, axis, -1)
+    out = xm @ jnp.asarray(di).astype(x.dtype)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def dct_2d(x, norm: str = "ortho"):
+    """Separable 2D DCT-II over the trailing two axes (modules/dct.py:109-117)."""
+    return dct(dct(x, axis=-1, norm=norm), axis=-2, norm=norm)
+
+
+def idct_2d(x, norm: str = "ortho"):
+    return idct(idct(x, axis=-1, norm=norm), axis=-2, norm=norm)
+
+
+def dct_3d(x, norm: str = "ortho"):
+    """Separable 3D DCT-II over the trailing three axes (modules/dct.py:120-131)."""
+    return dct(dct_2d(x, norm=norm), axis=-3, norm=norm)
+
+
+def idct_3d(x, norm: str = "ortho"):
+    return idct(idct_2d(x, norm=norm), axis=-3, norm=norm)

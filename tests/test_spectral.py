@@ -143,3 +143,32 @@ def test_jit_and_grad():
     g = jax.grad(loss)(w)
     assert g.shape == w.shape
     assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_dct_idct_user_api_roundtrip_and_scipy():
+    """User-facing dct/idct wrappers (reference modules/dct.py API):
+    orthonormal roundtrip and scipy agreement."""
+    import scipy.fft
+
+    from fourierflow_tpu.ops.dft import dct, dct_2d, dct_3d, idct, idct_2d, idct_3d
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(3, 8, 8).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(idct_2d(dct_2d(x))), np.asarray(x), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(dct(x)), scipy.fft.dct(np.asarray(x), axis=-1, norm="ortho"),
+        atol=1e-5,
+    )
+    x3 = jnp.asarray(rng.randn(2, 4, 6, 8).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(idct_3d(dct_3d(x3))), np.asarray(x3), atol=1e-5)
+
+
+def test_lp_loss_class_api():
+    from fourierflow_tpu.layers import LpLoss, lp_loss_rel
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(4, 32).astype(np.float32))
+    y = jnp.asarray(rng.randn(4, 32).astype(np.float32))
+    loss = LpLoss()
+    np.testing.assert_allclose(float(loss(x, y)), float(lp_loss_rel(x, y)), rtol=1e-6)
+    assert np.isfinite(float(loss.abs(x, y)))
