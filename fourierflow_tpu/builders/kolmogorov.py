@@ -190,13 +190,19 @@ def generate_kolmogorov(
         sim_grid, out_grids, velocity_solve, out_vorticity, state
     )
 
+    # The IC build and initial transform run under jit: eagerly dispatched
+    # complex arithmetic is UNIMPLEMENTED on the axon TPU backend.
     if initial_field is None:
-        vx, vy = filtered_velocity_field(seed, sim_grid, max_velocity, peak_wavenumber)
-        vorticity0 = velocity_to_vorticity_fd(vx, vy, sim_grid)
+        @jax.jit
+        def make_state(seed):
+            vx, vy = filtered_velocity_field(seed, sim_grid, max_velocity, peak_wavenumber)
+            w0 = velocity_to_vorticity_fd(vx, vy, sim_grid)
+            return rfft2(w0, axes=(0, 1))
+
+        state = make_state(seed)
     else:
         vorticity0 = jnp.asarray(initial_field["vorticity"])
-
-    state = rfft2(jnp.asarray(vorticity0), axes=(0, 1))
+        state = jax.jit(lambda w: rfft2(w, axes=(0, 1)))(vorticity0)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 

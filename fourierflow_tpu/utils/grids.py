@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.fourier import irfft2, rfft2
+from ..ops.fourier import irfft2, irfftn_pair, rfft2, rfftn_pair
 
 __all__ = [
     "Grid",
@@ -66,7 +66,7 @@ class Grid:
             d[0] + (np.arange(n) + o) * ((d[1] - d[0]) / n)
             for d, n, o in zip(self.domain, self.shape, offs)
         ]
-        return tuple(jnp.asarray(m.astype(np.float32)) for m in np.meshgrid(*axes, indexing="ij"))
+        return tuple(m.astype(np.float32) for m in np.meshgrid(*axes, indexing="ij"))
 
     def rfft_mesh(self):
         return rfft_mesh(self.shape, self.domain)
@@ -88,7 +88,10 @@ def rfft_mesh(shape: Sequence[int], domain=((0, TWO_PI), (0, TWO_PI))):
     kx = np.fft.fftfreq(nx, d=lx / nx)
     ky = np.fft.rfftfreq(ny, d=ly / ny)
     kxm, kym = np.meshgrid(kx, ky, indexing="ij")
-    return jnp.asarray(kxm.astype(np.float32)), jnp.asarray(kym.astype(np.float32))
+    # numpy on purpose: these are trace-time constants; building them as
+    # device arrays dispatches eager ops, and eager complex arithmetic is
+    # UNIMPLEMENTED on the axon TPU backend (see ops/fourier.py).
+    return kxm.astype(np.float32), kym.astype(np.float32)
 
 
 def fft_mesh(shape: Sequence[int], domain=((0, TWO_PI), (0, TWO_PI))):
@@ -98,16 +101,16 @@ def fft_mesh(shape: Sequence[int], domain=((0, TWO_PI), (0, TWO_PI))):
     kx = np.fft.fftfreq(nx, d=lx / nx)
     ky = np.fft.fftfreq(ny, d=ly / ny)
     kxm, kym = np.meshgrid(kx, ky, indexing="ij")
-    return jnp.asarray(kxm.astype(np.float32)), jnp.asarray(kym.astype(np.float32))
+    return kxm.astype(np.float32), kym.astype(np.float32)  # numpy: see rfft_mesh
 
 
 def laplacian_hat(shape, domain=((0, TWO_PI), (0, TWO_PI)), rfft: bool = True):
     """``(2*pi*i)^2 (kx^2+ky^2)`` with the (0,0) entry set to 1 so the
     Poisson solve is well-defined (grid_2d_markov.py:86-89)."""
     kx, ky = rfft_mesh(shape, domain) if rfft else fft_mesh(shape, domain)
-    lap = (TWO_PI * 1j) ** 2 * (jnp.abs(kx) ** 2 + jnp.abs(ky) ** 2)
-    lap = lap.at[0, 0].set(1.0)
-    return lap
+    lap = (TWO_PI * 1j) ** 2 * (np.abs(kx) ** 2 + np.abs(ky) ** 2)
+    lap[0, 0] = 1.0
+    return lap.astype(np.complex64)  # numpy constant: see rfft_mesh
 
 
 def velocity_from_vorticity(w: jax.Array, domain=((0, TWO_PI), (0, TWO_PI))):
@@ -119,9 +122,18 @@ def velocity_from_vorticity(w: jax.Array, domain=((0, TWO_PI), (0, TWO_PI))):
     """
     nx, ny = w.shape[-2], w.shape[-1]
     kx, ky = rfft_mesh((nx, ny), domain)
-    lap = laplacian_hat((nx, ny), domain)
-    w_hat = rfft2(w, axes=(-2, -1))
-    psi_hat = -w_hat / lap
-    u = irfft2(TWO_PI * 1j * ky * psi_hat, s=(nx, ny), axes=(-2, -1))
-    v = irfft2(-TWO_PI * 1j * kx * psi_hat, s=(nx, ny), axes=(-2, -1))
+    # Real-pair arithmetic throughout: this runs in the feature-building
+    # hot path and must also work eagerly (flax init), where complex
+    # dispatch is UNIMPLEMENTED on the axon TPU backend.
+    # lap is real and negative: (2*pi*i)^2 (kx^2+ky^2) = -(2*pi)^2 |k|^2.
+    lap = -(TWO_PI**2) * (kx**2 + ky**2)
+    lap[0, 0] = 1.0
+    wr, wi = rfftn_pair(w, axes=(-2, -1))
+    # psi = -w/lap; u = d(psi)/dy = Re-pair mult by 2*pi*i*ky; v = -d/dx.
+    pr, pi = -wr / lap, -wi / lap
+    cy = TWO_PI * ky
+    cx = TWO_PI * kx
+    # (i*c) * (pr + i*pi) = -c*pi + i*c*pr
+    u = irfftn_pair(-cy * pi, cy * pr, s=(nx, ny), axes=(-2, -1))
+    v = irfftn_pair(cx * pi, -cx * pr, s=(nx, ny), axes=(-2, -1))
     return u, v

@@ -56,7 +56,7 @@ def circular_filter_2d(grid: Grid) -> jax.Array:
     kx, ky = rfft_mesh(grid.shape, grid.domain)
     k_max = float(grid.shape[0] // 2) / (grid.domain[0][1] - grid.domain[0][0])
     mask = (kx**2 + ky**2) <= (2.0 / 3.0 * k_max) ** 2
-    return mask.astype(jnp.float32)
+    return mask.astype(np.float32)  # numpy constant (axon eager-op gotcha)
 
 
 def velocity_to_vorticity_fd(vx: jax.Array, vy: jax.Array, grid: Grid) -> jax.Array:
