@@ -19,3 +19,29 @@ reference files as ``reference:<path>:<lines>``.
 """
 
 __version__ = "0.1.0"
+
+
+def _load_dotenv():
+    """Auto-load ``.env`` from the working directory into os.environ
+    (reference:fourierflow/__init__.py:1-2 via python-dotenv; here a
+    dependency-free parser). Existing variables are never overridden."""
+    import os
+
+    path = os.path.join(os.getcwd(), ".env")
+    if not os.path.exists(path):
+        return
+    try:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#") or "=" not in line:
+                    continue
+                key, _, value = line.partition("=")
+                key = key.strip()
+                value = value.strip().strip("'\"")
+                os.environ.setdefault(key, value)
+    except OSError:
+        pass
+
+
+_load_dotenv()

@@ -27,6 +27,8 @@ def main(argv=None):
     _add_common(p_train)
     p_train.add_argument("--checkpoint-path", default=None)
     p_train.add_argument("--no-test", action="store_true")
+    p_train.add_argument("--debug", action="store_true",
+                         help="disable jit for step-through debugging")
     p_train.add_argument("--force", action="store_true",
                          help="overwrite existing trial results")
     p_train.add_argument("--resume", action="store_true",
@@ -101,6 +103,10 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     if args.command == "train":
+        if args.debug:
+            import jax
+
+            jax.config.update("jax_disable_jit", True)
         from .train import main as train_main
 
         train_main(

@@ -153,7 +153,14 @@ class Trainer:
                     state, metrics = train_epoch(state, device_data, epoch_key)
                     n_b = len(next(iter(device_data.values()))) // builder.batch_size
                     self.global_step += n_b
-                    self.logs.update({k: float(v) for k, v in metrics.items()})
+                    scalars = {k: float(v) for k, v in metrics.items()}
+                    # NaN guard (reference grid_2d_markov.py:397-400).
+                    for k, v in scalars.items():
+                        if v != v:
+                            raise FloatingPointError(
+                                f"{k} is NaN at epoch {epoch} (step {self.global_step})"
+                            )
+                    self.logs.update(scalars)
             else:
                 for i, batch in enumerate(builder.train_batches(rng)):
                     if self.limit_train_batches and i >= self.limit_train_batches:

@@ -206,3 +206,44 @@ def test_markov_training_bf16(synthetic_dataset):
         losses.append(float(m["train_loss"]))
     assert np.isfinite(losses).all()
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_contextual_training_with_force_and_mu(tmp_path):
+    """torus_vis-style conditioning: per-sample viscosity and forcing
+    appended as features, trained and rolled out with the force re-fed at
+    every step (reference torus_vis configs + grid_2d_markov append_force/
+    append_mu paths)."""
+    import jax.numpy as jnp
+
+    from fourierflow_tpu.builders import NSContextualBuilder
+
+    rng = np.random.RandomState(0)
+    B, S, T = 6, 16, 8
+    with h5py.File(tmp_path / "vis.h5", "w") as f:
+        for split, n in [("train", B), ("valid", 2), ("test", 2)]:
+            g = f.create_group(split)
+            g.create_dataset("u", data=rng.randn(n, S, S, T).astype(np.float32))
+            g.create_dataset("f", data=rng.randn(n, S, S).astype(np.float32))
+            g.create_dataset("mu", data=rng.rand(n).astype(np.float32) * 1e-4)
+
+    builder = NSContextualBuilder(str(tmp_path / "vis.h5"), ssr=1, k=1, batch_size=4)
+    model = FNOFactorized2DBlock(modes=4, width=8, input_dim=5, n_layers=2)
+    routine = Grid2DMarkovRoutine(
+        model,
+        n_steps=3,
+        max_accumulations=50,
+        append_force=True,
+        append_mu=True,
+        optimizer=make_optimizer(lr=1e-3),
+    )
+    state = routine.init(jax.random.PRNGKey(0), builder.sample_batch())
+    state = routine.accumulate_step(state, builder.sample_batch())
+    step = jax.jit(routine.train_step)
+    for i, batch in enumerate(builder.train_batches(np.random.default_rng(0))):
+        state, m = step(state, batch, jax.random.PRNGKey(i))
+    assert np.isfinite(float(m["train_loss"]))
+
+    val_batch = next(builder.val_batches())
+    logs = jax.jit(routine.valid_step)(state, val_batch)
+    assert np.isfinite(float(logs["loss"]))
+    assert np.isfinite(float(logs["time_until"]))
