@@ -15,7 +15,6 @@ from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..config import instantiate, load_config
 from .train import build_routine

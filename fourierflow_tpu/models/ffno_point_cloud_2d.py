@@ -10,7 +10,6 @@ is evaluated back at the query points via the inverse NUDFT. Grid-coord
 "bias" branches (the reference's 1x1 convs ``bs``) are channel linears.
 """
 
-import math
 from typing import Optional
 
 import flax.linen as nn

@@ -14,7 +14,7 @@ non-negative-y half ``[..., :modes2]`` (Hermitian redundancy), the inverse
 reconstructs the other half by conjugate symmetry.
 """
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

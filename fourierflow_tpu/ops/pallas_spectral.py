@@ -38,11 +38,9 @@ mode-batched dot_general so every matmul has [X*? , C] x [C, C] MXU shape.
 """
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .dft import irdft_basis, rdft_basis
 

@@ -6,12 +6,10 @@ the Python unroll loop (:115-136) becomes a ``lax.scan``; training and
 evaluation share the same scanned unroll.
 """
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
-from ..layers import encode_positions, fourier_encode, lp_loss_rel
+from ..layers import lp_loss_rel
 from .base import Routine, TrainState
 
 __all__ = ["Grid2DRolloutRoutine"]

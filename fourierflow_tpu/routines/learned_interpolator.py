@@ -11,8 +11,6 @@ steps each, downsamples to the 32x32 reference grid, and scores the
 vorticity correlation ``rho(t)`` and the time until ``rho < 0.95``.
 """
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -10,8 +10,6 @@ by global norm exactly like ``safe_clip_grads`` (:18-27), and batching is
 a ``vmap`` over padded samples.
 """
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import optax

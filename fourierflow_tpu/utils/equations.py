@@ -22,7 +22,6 @@ State convention: the rfft2 half-spectrum of vorticity, shape
 """
 
 import dataclasses
-import math
 from typing import Callable, Optional
 
 import jax

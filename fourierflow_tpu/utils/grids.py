@@ -10,10 +10,9 @@ integer mode k has wavenumber k/L — so spectral derivatives multiply by
 from typing import Sequence, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
-from ..ops.fourier import irfft2, irfftn_pair, rfft2, rfftn_pair
+from ..ops.fourier import irfftn_pair, rfftn_pair
 
 __all__ = [
     "Grid",

@@ -10,7 +10,6 @@ multi-resolution dataset generation and correlation metrics. All
 transforms ride the platform-robust matmul-DFT wrappers.
 """
 
-from functools import partial
 from typing import Dict
 
 import jax
