@@ -44,3 +44,8 @@ class ElasticityBuilder(Builder):
         self.test_data = {
             "rr": rr[-test_size:], "sigma": sigma[-test_size:], "xy": xy[-test_size:]
         }
+
+    def inference_data(self):
+        """Test-split inputs for inference timing (the reference leaves
+        this as a `return None  # TODO` stub; here it is implemented)."""
+        return {k: v[:512] for k, v in self.test_data.items()}

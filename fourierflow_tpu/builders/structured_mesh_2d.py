@@ -37,3 +37,8 @@ class StructuredMesh2DBuilder(Builder):
         self.train_data = {"x": x[:i], "y": y[:i]}
         self.test_data = {"x": x[i:j], "y": y[i:j]}
         self.valid_data = {"x": x[j:k], "y": y[j:k]}
+
+    def inference_data(self):
+        """Test-split inputs for inference timing (the reference leaves
+        this as a `return None  # TODO` stub; here it is implemented)."""
+        return {k: v[:512] for k, v in self.test_data.items()}
