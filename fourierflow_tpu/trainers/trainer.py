@@ -21,7 +21,7 @@ from ..routines.base import Routine, TrainState
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["Trainer"]
+__all__ = ["Trainer", "make_scan_epoch", "make_scan_epoch_indexed"]
 
 
 def make_scan_epoch(routine: Routine, batch_size: int, accumulate: bool = False):
@@ -35,15 +35,36 @@ def make_scan_epoch(routine: Routine, batch_size: int, accumulate: bool = False)
     trailing partial batch is dropped (fixed shapes, no retraces).
     """
 
+    return make_scan_epoch_indexed(
+        routine,
+        batch_size,
+        n_items=None,
+        sample_fn=lambda data, idx: {k: v[idx] for k, v in data.items()},
+        accumulate=accumulate,
+    )
+
+
+def make_scan_epoch_indexed(
+    routine: Routine,
+    batch_size: int,
+    n_items: Optional[int],
+    sample_fn,
+    accumulate: bool = False,
+):
+    """Generalized device-resident epoch: batches are produced by
+    ``sample_fn(data, idx)`` on device from an arbitrary container (e.g.
+    the Kolmogorov datasets index (trajectory, time) pairs virtually —
+    a dict of flat aligned arrays is just the identity-gather case)."""
+
     def epoch_fn(state, data, key):
-        n = len(next(iter(data.values())))
+        n = n_items if n_items is not None else len(next(iter(data.values())))
         n_batches = n // batch_size
         kperm, kstep = jax.random.split(key)
         perm = jax.random.permutation(kperm, n)[: n_batches * batch_size]
         perm = perm.reshape(n_batches, batch_size)
 
         def body(state, idx):
-            batch = {k: v[idx] for k, v in data.items()}
+            batch = sample_fn(data, idx)
             if accumulate:
                 return routine.accumulate_step(state, batch), {}
             step_key = jax.random.fold_in(kstep, state.step)
@@ -125,17 +146,28 @@ class Trainer:
         self._hook("on_fit_start", routine, state)
         normalizes = getattr(routine, "should_normalize", False)
 
+        has_device_proto = hasattr(builder, "device_train_data")
         use_fast = (
             self.fast_loop
             and self.mesh is None
             and self.limit_train_batches is None
-            and hasattr(builder, "train_data")
+            and (hasattr(builder, "train_data") or has_device_proto)
         )
-        if use_fast:
+        if use_fast and has_device_proto:
+            # Indexed device-resident dataset (virtual (traj, time) items).
+            device_data, sample_fn, n_items = builder.device_train_data()
+            device_data = jax.tree.map(jnp.asarray, device_data)
+            train_epoch = make_scan_epoch_indexed(
+                routine, builder.batch_size, n_items, sample_fn, accumulate=False)
+            acc_epoch = make_scan_epoch_indexed(
+                routine, builder.batch_size, n_items, sample_fn, accumulate=True)
+            fast_n_items = n_items
+        elif use_fast:
             # Device-resident dataset + one jitted scan per epoch.
             device_data = {k: jnp.asarray(v) for k, v in builder.train_data.items()}
             train_epoch = make_scan_epoch(routine, builder.batch_size, accumulate=False)
             acc_epoch = make_scan_epoch(routine, builder.batch_size, accumulate=True)
+            fast_n_items = len(next(iter(builder.train_data.values())))
         else:
             train_step = jax.jit(routine.train_step, donate_argnums=(0,))
             acc_step = jax.jit(routine.accumulate_step, donate_argnums=(0,))
@@ -151,7 +183,7 @@ class Trainer:
                     state, _ = acc_epoch(state, device_data, epoch_key)
                 else:
                     state, metrics = train_epoch(state, device_data, epoch_key)
-                    n_b = len(next(iter(device_data.values()))) // builder.batch_size
+                    n_b = fast_n_items // builder.batch_size
                     self.global_step += n_b
                     scalars = {k: float(v) for k, v in metrics.items()}
                     # NaN guard (reference grid_2d_markov.py:397-400).
