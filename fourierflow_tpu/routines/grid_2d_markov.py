@@ -55,6 +55,7 @@ class Grid2DMarkovRoutine(Routine):
         domain=((0, TWO_PI), (0, TWO_PI)),
         shuffle_grid: bool = False,
         grid_size=(64,),
+        pred_path=None,
         optimizer=None,
         conv=None,
         **kwargs,
@@ -83,6 +84,7 @@ class Grid2DMarkovRoutine(Routine):
         # shuffle_xy_grid ablation (reference grid_2d_markov.py:75-80):
         # fixed random spatial permutation applied to inputs, inverted on
         # outputs — tests whether the operator exploits grid structure.
+        self.pred_path = pred_path
         self.shuffle_grid = shuffle_grid
         if shuffle_grid:
             if isinstance(grid_size, int):
@@ -272,3 +274,58 @@ class Grid2DMarkovRoutine(Routine):
     def valid_step(self, state: TrainState, batch):
         preds, step_losses, yy = self.rollout(state, batch)
         return self.compute_losses(preds, step_losses, yy)
+
+    def save_predictions(self, preds, times=None, path=None):
+        """Dump rollout predictions with velocities, spectrally downsampled
+        to 64^2 when larger (reference grid_2d_markov.py:427-476 writes
+        netCDF via xarray; xarray is absent here, so the same layout goes
+        to HDF5: vorticity/vx/vy [sample, x, y, time] + time).
+
+        The reference loops over (sample, time) in Python; here one jitted
+        vmap over both.
+        """
+        import h5py
+
+        from ..utils.grids import Grid
+        from ..utils.spectral import (
+            downsample_vorticity_hat,
+            vorticity_to_velocity_solve,
+        )
+        from ..ops.fourier import irfft2, rfft2
+
+        path = path or self.pred_path
+        preds = jnp.asarray(preds)
+        b, sx, sy, t = preds.shape
+        sim_grid = Grid((sx, sy), domain=self.domain)
+        out_size = min(sx, 64)
+        out_grid = Grid((out_size, out_size), domain=self.domain)
+        solve = vorticity_to_velocity_solve(sim_grid)
+
+        @jax.jit
+        def convert(ws):  # [b, X, Y, T]
+            def one(w):  # [X, Y]
+                w_hat = rfft2(w, axes=(0, 1))
+                if sx > 64:
+                    out = downsample_vorticity_hat(w_hat, solve, sim_grid, out_grid)
+                    return out["vx"], out["vy"], out["vorticity"]
+                vxh, vyh = solve(w_hat)
+                return (
+                    irfft2(vxh, s=(sx, sy), axes=(0, 1)),
+                    irfft2(vyh, s=(sx, sy), axes=(0, 1)),
+                    w,
+                )
+
+            return jax.vmap(jax.vmap(one))(jnp.moveaxis(ws, -1, 1))
+
+        vx, vy, w = jax.tree.map(
+            lambda a: np.moveaxis(np.asarray(a), 1, -1), convert(preds)
+        )
+        with h5py.File(path, "w") as f:
+            f.create_dataset("vorticity", data=w)
+            f.create_dataset("vx", data=vx)
+            f.create_dataset("vy", data=vy)
+            if times is not None:
+                f.create_dataset("time", data=np.asarray(times))
+            f.create_dataset("x", data=np.asarray(out_grid.axes()[0]))
+            f.create_dataset("y", data=np.asarray(out_grid.axes()[1]))
+        return path

@@ -247,3 +247,19 @@ def test_contextual_training_with_force_and_mu(tmp_path):
     logs = jax.jit(routine.valid_step)(state, val_batch)
     assert np.isfinite(float(logs["loss"]))
     assert np.isfinite(float(logs["time_until"]))
+
+
+def test_prediction_dump(synthetic_dataset, tmp_path):
+    """pred_path-style prediction dump: vorticity + recovered velocities,
+    written as HDF5 (reference grid_2d_markov.py:427-476 uses netCDF)."""
+    routine = _markov_routine(n_steps=3)
+    builder = NSMarkovBuilder(synthetic_dataset, train_size=8, test_size=4, batch_size=4)
+    state = routine.init(jax.random.PRNGKey(0), builder.sample_batch())
+    state = routine.accumulate_step(state, builder.sample_batch())
+    batch = next(builder.test_batches())
+    preds, _, _ = jax.jit(routine.rollout)(state, batch)
+    out = routine.save_predictions(preds, times=np.arange(3), path=str(tmp_path / "p.h5"))
+    with h5py.File(out) as f:
+        assert f["vorticity"].shape == preds.shape
+        assert f["vx"].shape == preds.shape
+        assert np.isfinite(f["vx"][...]).all()
