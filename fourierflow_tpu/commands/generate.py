@@ -31,6 +31,11 @@ def kolmogorov(config_path: str, overrides=None):
 
     cfg = load_config(config_path, overrides)
     config_dir = os.path.dirname(os.path.abspath(config_path))
+    if not os.path.isfile(config_path):
+        # Registry name (e.g. data/kolmogorov/re_1000/baselines/32):
+        # outputs land under the matching directory in the CWD.
+        config_dir = os.path.dirname(os.path.abspath(config_path))
+        os.makedirs(config_dir, exist_ok=True)
     stem = os.path.splitext(os.path.basename(config_path))[0]
 
     sim_grid = instantiate(cfg["sim_grid"])

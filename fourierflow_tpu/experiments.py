@@ -611,6 +611,98 @@ def _torus_vis(project, variant) -> dict:
     }
 
 
+
+
+# --- data-generation configs (reference:data/kolmogorov/**) -----------------
+
+KOL_DOMAIN = [[0, "${eval:2 * ${import:numpy.pi}}"],
+              [0, "${eval:2 * ${import:numpy.pi}}"]]
+
+
+def _kol_data(sim_size, n_traj, seed, inner, outer, warmup, out_sizes,
+              time_step=None, init_path=None):
+    """One Kolmogorov generation config (reference:data/kolmogorov/re_1000/
+    trajectories/train.yaml etc.). ``time_step=None`` uses the CFL-stable
+    step for the sim grid."""
+    cfg = {
+        "domain": KOL_DOMAIN,
+        "sim_grid": {"_target_": "fourierflow_tpu.utils.Grid",
+                     "shape": [sim_size, sim_size], "domain": "${domain}"},
+        "time_step": time_step if time_step is not None else {
+            "_target_": "jax_cfd.base.equations.stable_time_step",
+            "max_velocity": 7.0, "max_courant_number": 0.5,
+            "viscosity": 1e-3, "grid": "${sim_grid}",
+        },
+        "method": "pseudo_spectral",
+        "step_fn": {
+            "_target_": "jax_cfd.spectral.time_stepping.crank_nicolson_rk4",
+            "equation": {
+                "_target_": "fourierflow.utils.equations.NavierStokes2D",
+                "grid": "${sim_grid}", "viscosity": 1e-3, "drag": 0.1,
+                "smooth": True,
+                "forcing_fn": {
+                    "_target_": "functools.partial",
+                    "_args_": ["${get_method:jax_cfd.base.forcings.simple_turbulence_forcing}"],
+                    "constant_magnitude": 1, "constant_wavenumber": 4,
+                    "linear_coefficient": 0,
+                },
+            },
+            "time_step": "${time_step}",
+        },
+        "downsample_fn": "${get_method:fourierflow.builders.kolmogorov.downsample_vorticity}",
+        "out_sizes": out_sizes,
+        "n_trajectories": n_traj, "density": 1, "max_velocity": 7.0,
+        "peak_wavenumber": 4.0, "seed": seed,
+        "inner_steps": inner, "outer_steps": outer, "warmup_steps": warmup,
+    }
+    if init_path:
+        cfg["init_path"] = init_path
+    return cfg
+
+
+def _kolmogorov_data_configs():
+    """reference:data/kolmogorov/re_1000/** — initial conditions (2048^2,
+    40 warmup time units), ML training trajectories, short trajectories,
+    per-resolution DNS baselines, time-step sweeps, learned-interpolation
+    data."""
+    out = {}
+    ic_sizes = [{"size": s, "k": 1} for s in (32, 64, 128, 256, 512, 1024, 2048)]
+    traj_sizes = ([{"size": s, "k": 1} for s in (32, 64, 128)]
+                  + [{"size": s, "k": 4} for s in (32, 64, 128, 256)])
+    seeds = {"train": 73714, "valid": 819242, "test": 19422}
+    for split, seed in seeds.items():
+        out[f"data/kolmogorov/re_1000/initial_conditions/{split}"] = _kol_data(
+            2048, 32, seed, inner=64, outer=0, warmup=2852, out_sizes=ic_sizes)
+        init = f"{DATA}/kolmogorov/re_1000/initial_conditions/{split}_2048.nc"
+        out[f"data/kolmogorov/re_1000/trajectories/{split}"] = _kol_data(
+            2048, 32, seed, inner=16, outer=9764, warmup=0,
+            out_sizes=traj_sizes, init_path=init)
+        out[f"data/kolmogorov/re_1000/short_trajectories/{split}"] = _kol_data(
+            2048, 32, seed, inner=8, outer=7000, warmup=0,
+            out_sizes=traj_sizes, init_path=init)
+    # DNS baselines: simulate directly at each resolution with its own
+    # stable step (the reference's accuracy-vs-cost reference points).
+    for size in (32, 64, 128, 256, 512, 1024):
+        out[f"data/kolmogorov/re_1000/baselines/{size}"] = _kol_data(
+            size, 4, 83816, inner=1, outer=2441, warmup=0,
+            out_sizes=[{"size": min(size, 32), "k": 1}],
+            init_path=f"{DATA}/kolmogorov/re_1000/initial_conditions/test_{size}.nc")
+    # Time-step sensitivity sweep at 64^2: dt = x * stable(2048).
+    base_dt = 0.0002191401125550916
+    for mult in (1, 2, 4, 8, 16, 32, 64, 128):
+        out[f"data/kolmogorov/re_1000/time_steps/x{mult}"] = _kol_data(
+            64, 4, 83816, inner=max(1, 32 // mult), outer=2441, warmup=0,
+            out_sizes=[{"size": 32, "k": 1}], time_step=base_dt * mult,
+            init_path=f"{DATA}/kolmogorov/re_1000/initial_conditions/test_64.nc")
+    # Learned-interpolation training data (fine snapshots at the model grid).
+    for size in (64, 128):
+        out[f"data/kolmogorov/re_1000/learned_interpolation/{size}"] = _kol_data(
+            size, 4, 83816, inner=2, outer=2441, warmup=0,
+            out_sizes=[{"size": size, "k": 1}, {"size": 32, "k": 1}],
+            init_path=f"{DATA}/kolmogorov/re_1000/initial_conditions/test_{size}.nc")
+    return out
+
+
 # --- registry ---------------------------------------------------------------
 
 def _build_registry() -> Dict[str, dict]:
@@ -624,6 +716,7 @@ def _build_registry() -> Dict[str, dict]:
     reg.update(_elasticity_family())
     reg.update(_plasticity_family())
     reg.update(_kochkov_family())
+    reg.update(_kolmogorov_data_configs())
     for v in ("01_baseline", "02_no_mu", "03_no_mu_force"):
         reg[f"torus_vis/{v}"] = _torus_vis("torus_vis", v)
     for v in ("01_baseline", "02_no_mu", "03_no_mu_force", "06_shared_all_no_fork"):

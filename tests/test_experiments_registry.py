@@ -41,7 +41,9 @@ def test_registry_covers_reference_families():
         assert required in names, f"missing {required}"
 
 
-@pytest.mark.parametrize("name", experiment_names())
+@pytest.mark.parametrize(
+    "name", [n for n in experiment_names() if not n.startswith("data/")]
+)
 def test_experiment_instantiates(name):
     cfg = get_experiment(name)
     cfg = _interpolate(cfg, root=cfg)
@@ -144,3 +146,53 @@ def test_learned_interpolation_valid_step():
     logs = jax.jit(routine.valid_step)(state, batch)
     assert np.isfinite(float(logs["loss"]))
     assert logs["correlations"].shape == (3,)
+
+
+def test_data_generation_configs_resolve():
+    """The data/ namespace: generation configs for initial conditions,
+    trajectories, baselines, time-step sweeps, learned-interpolation data
+    (reference:data/kolmogorov/re_1000/**)."""
+    from fourierflow_tpu.config import instantiate, _interpolate
+
+    names = [n for n in experiment_names() if n.startswith("data/")]
+    assert len(names) >= 25
+    for required in [
+        "data/kolmogorov/re_1000/initial_conditions/train",
+        "data/kolmogorov/re_1000/trajectories/test",
+        "data/kolmogorov/re_1000/short_trajectories/valid",
+        "data/kolmogorov/re_1000/baselines/1024",
+        "data/kolmogorov/re_1000/time_steps/x8",
+        "data/kolmogorov/re_1000/learned_interpolation/64",
+    ]:
+        assert required in names
+
+    cfg = get_experiment("data/kolmogorov/re_1000/baselines/64")
+    cfg = _interpolate(cfg, root=cfg)
+    grid = instantiate(cfg["sim_grid"])
+    assert grid.shape == (64, 64)
+    step_fn = instantiate(cfg["step_fn"])
+    assert callable(step_fn)
+
+
+def test_generate_from_registry_name(tmp_path, monkeypatch):
+    """`generate kolmogorov` accepts a registry name (tiny override)."""
+    import os
+
+    from fourierflow_tpu.commands.generate import kolmogorov as gen
+
+    monkeypatch.chdir(tmp_path)
+    gen(
+        "data/kolmogorov/re_1000/baselines/32",
+        overrides=[
+            "n_trajectories=1", "outer_steps=2", "warmup_steps=0",
+            "inner_steps=1", "init_path=",
+        ],
+    )
+    import glob
+
+    import h5py
+
+    files = glob.glob(str(tmp_path / "data" / "**" / "*.h5"), recursive=True)
+    assert files
+    with h5py.File(files[0]) as f:
+        assert np.isfinite(f["vorticity"][...]).all()
