@@ -120,20 +120,21 @@ def downsample_vorticity_snapshot(sim_grid, out_grids, velocity_solve, out_vorti
 
 def downsample_velocity_snapshot(sim_grid, out_grids, velocity_solve, out_vorticity, u):
     """Velocity-state variant (projection method,
-    reference builders/kolmogorov.py:431-452)."""
-    vx, vy = u
+    reference builders/kolmogorov.py:431-452). Supports 2D (vx, vy) and
+    3D (vx, vy, vz) staggered states; vorticity output is 2D-only."""
+    names = ["vx", "vy", "vz"][: len(u)]
     outs = {}
     for key, out_grid in out_grids.items():
         size = key[0]
         if size == sim_grid.shape[0]:
-            out = {"vx": vx, "vy": vy}
-            if out_vorticity:
-                out["vorticity"] = velocity_to_vorticity_fd(vx, vy, sim_grid)
+            comps = tuple(u)
+            grid = sim_grid
         else:
-            dvx, dvy = downsample_staggered_velocity(sim_grid, out_grid, (vx, vy))
-            out = {"vx": dvx, "vy": dvy}
-            if out_vorticity:
-                out["vorticity"] = velocity_to_vorticity_fd(dvx, dvy, out_grid)
+            comps = downsample_staggered_velocity(sim_grid, out_grid, u)
+            grid = out_grid
+        out = dict(zip(names, comps))
+        if out_vorticity and len(u) == 2:
+            out["vorticity"] = velocity_to_vorticity_fd(comps[0], comps[1], grid)
         outs[key] = out
     return outs
 
@@ -170,17 +171,18 @@ def generate_kolmogorov(
     over ICI — no code changes in the solver (SURVEY.md §2.7: the
     reference instead fans out whole trajectories with dask-cuda).
     """
-    if method != "pseudo_spectral":
-        raise NotImplementedError(
-            "only the pseudo_spectral method is implemented natively; the "
-            "'projection' method belongs to the learned-interpolation path"
-        )
+    if method not in ("pseudo_spectral", "projection"):
+        raise NotImplementedError(f"unknown method {method!r}")
     if isinstance(step_fn, dict):
         from ..config import instantiate
 
         step_fn = instantiate(step_fn)
 
-    velocity_solve = vorticity_to_velocity_solve(sim_grid)
+    # The spectral vorticity->velocity solve only exists in 2D; the 3D
+    # projection path carries velocities directly.
+    velocity_solve = (
+        vorticity_to_velocity_solve(sim_grid) if sim_grid.ndim == 2 else None
+    )
     out_grids = {}
     for o in out_sizes:
         out_grids[(o["size"], o["k"])] = Grid(
@@ -192,7 +194,26 @@ def generate_kolmogorov(
 
     # The IC build and initial transform run under jit: eagerly dispatched
     # complex arithmetic is UNIMPLEMENTED on the axon TPU backend.
-    if initial_field is None:
+    if method == "projection":
+        # Velocity-tuple state, finite-volume stepper
+        # (utils/finite_volume.semi_implicit_navier_stokes).
+        if initial_field is None:
+            if sim_grid.ndim == 3:
+                from ..utils.finite_volume import filtered_velocity_field_3d
+
+                state = jax.jit(
+                    lambda k: filtered_velocity_field_3d(
+                        k, sim_grid, max_velocity, peak_wavenumber)
+                )(seed)
+            else:
+                state = jax.jit(
+                    lambda k: filtered_velocity_field(
+                        k, sim_grid, max_velocity, peak_wavenumber)
+                )(seed)
+        else:
+            names = ["vx", "vy", "vz"][: sim_grid.ndim]
+            state = tuple(jnp.asarray(initial_field[n]) for n in names)
+    elif initial_field is None:
         @jax.jit
         def make_state(seed):
             vx, vy = filtered_velocity_field(seed, sim_grid, max_velocity, peak_wavenumber)

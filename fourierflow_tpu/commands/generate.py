@@ -61,18 +61,21 @@ def kolmogorov(config_path: str, overrides=None):
 
     # Open output files and pre-create datasets for streaming writes.
     files = {}
-    fields = ["vx", "vy"] + (["vorticity"] if out_vorticity else [])
+    ndim = sim_grid.ndim
+    fields = ["vx", "vy", "vz"][:ndim] + (
+        ["vorticity"] if (out_vorticity and ndim == 2) else []
+    )
     for o in cfg["out_sizes"]:
         key = (o["size"], o["k"])
         size, k = key
         if outer_steps > 0:
             path = os.path.join(config_dir, f"{stem}_{size}_{k}.h5")
             t_len = outer_steps // k
-            shape = (n_traj, t_len, size, size)
+            shape = (n_traj, t_len) + (size,) * ndim
             times = dt * inner_steps * k * np.arange(1, t_len + 1)
         else:
             path = os.path.join(config_dir, f"{stem}_{size}.h5")
-            shape = (n_traj, size, size)
+            shape = (n_traj,) + (size,) * ndim
             times = None
         f = h5py.File(path, "w")
         for name in fields:
@@ -89,7 +92,9 @@ def kolmogorov(config_path: str, overrides=None):
             initial_field = None
             if init_file is not None:
                 initial_field = {
-                    name: init_file[name][i] for name in ["vorticity", "vx", "vy"]
+                    name: init_file[name][i]
+                    for name in (["vorticity"] if ndim == 2 else []) + fields
+                    if name in init_file
                 }
             outs, elapsed = generate_kolmogorov(
                 sim_grid=sim_grid,

@@ -67,6 +67,7 @@ TARGET_TRANSLATION = {
     "fourierflow.utils.equations.NavierStokes2D": "fourierflow_tpu.utils.equations.NavierStokes2D",
     "jax_cfd.spectral.time_stepping.crank_nicolson_rk4": "fourierflow_tpu.utils.equations.crank_nicolson_rk4",
     "jax_cfd.base.equations.stable_time_step": "fourierflow_tpu.utils.equations.stable_time_step",
+    "jax_cfd.base.equations.semi_implicit_navier_stokes": "fourierflow_tpu.utils.finite_volume.semi_implicit_navier_stokes",
     "jax_cfd.base.grids.Grid": "fourierflow_tpu.utils.Grid",
     "jax_cfd.base.forcings.simple_turbulence_forcing": "fourierflow_tpu.utils.forcings.simple_turbulence_forcing",
     "fourierflow.utils.forcings.kolmogorov_forcing_fn": "fourierflow_tpu.utils.forcings.kolmogorov_forcing_fn",

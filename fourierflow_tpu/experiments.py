@@ -700,7 +700,61 @@ def _kolmogorov_data_configs():
             size, 4, 83816, inner=2, outer=2441, warmup=0,
             out_sizes=[{"size": size, "k": 1}, {"size": 32, "k": 1}],
             init_path=f"{DATA}/kolmogorov/re_1000/initial_conditions/test_{size}.nc")
+    # 3D projection-method datasets (reference data/kolmogorov/
+    # three_dimensions/*: 512^3 finite-volume simulations).
+    for split, seed in (("train", 97820), ("valid", 97821), ("test", 97823)):
+        cfg = _kol_projection_3d(512, 4, seed, inner=64, outer=200,
+                                 warmup=0,
+                                 init_path=f"{DATA}/kolmogorov/three_dimensions/initial_conditions/{split}_512.nc")
+        out[f"data/kolmogorov/three_dimensions/trajectories/{split}"] = cfg
+        ic = _kol_projection_3d(512, 4, seed, inner=64, outer=0, warmup=1000)
+        out[f"data/kolmogorov/three_dimensions/initial_conditions/{split}"] = ic
+    # Method-comparison configs (spectral vs projection at the same IC).
+    out["data/kolmogorov/compare_methods/drag/spectral"] = _kol_data(
+        256, 2, 111, inner=8, outer=200, warmup=50,
+        out_sizes=[{"size": 64, "k": 1}])
+    proj2d = _kol_projection_3d(256, 2, 111, inner=8, outer=200, warmup=50,
+                                ndim=2)
+    out["data/kolmogorov/compare_methods/drag/projection"] = proj2d
     return out
+
+
+def _kol_projection_3d(sim_size, n_traj, seed, inner, outer, warmup,
+                       init_path=None, ndim=3):
+    """Finite-volume projection-method generation config (reference:data/
+    kolmogorov/three_dimensions/trajectories/*.yaml and
+    compare_methods/**/projection*.yaml)."""
+    domain = KOL_DOMAIN[:1] * ndim
+    cfg = {
+        "domain": domain,
+        "sim_grid": {"_target_": "fourierflow_tpu.utils.Grid",
+                     "shape": [sim_size] * ndim, "domain": "${domain}"},
+        "time_step": {
+            "_target_": "jax_cfd.base.equations.stable_time_step",
+            "max_velocity": 7.0, "max_courant_number": 0.5,
+            "viscosity": 1e-3, "grid": "${sim_grid}",
+        },
+        "method": "projection",
+        "step_fn": {
+            "_target_": "jax_cfd.base.equations.semi_implicit_navier_stokes",
+            "density": 1, "viscosity": 1e-3, "dt": "${time_step}",
+            "grid": "${sim_grid}",
+            "forcing": {
+                "_target_": "jax_cfd.base.forcings.simple_turbulence_forcing",
+                "grid": "${sim_grid}",
+                "constant_magnitude": 1, "constant_wavenumber": 4,
+                "linear_coefficient": -0.1,
+            },
+        },
+        "downsample_fn": "${get_method:fourierflow.builders.kolmogorov.downsample_velocity}",
+        "out_sizes": [{"size": s, "k": 1} for s in (32, 64, 128) if s <= sim_size],
+        "n_trajectories": n_traj, "density": 1, "max_velocity": 7.0,
+        "peak_wavenumber": 4.0, "seed": seed,
+        "inner_steps": inner, "outer_steps": outer, "warmup_steps": warmup,
+    }
+    if init_path:
+        cfg["init_path"] = init_path
+    return cfg
 
 
 # --- registry ---------------------------------------------------------------

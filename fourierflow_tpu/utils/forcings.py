@@ -32,13 +32,26 @@ def simple_turbulence_forcing(
     linear_coefficient: float = 0.0,
 ):
     """Kolmogorov forcing plus linear (drag-like) velocity forcing — the
-    jax-cfd config target used by data/kolmogorov/*.yaml."""
-    _, ys = grid.mesh(offset=(0, 0))
-    f_const = constant_magnitude * jnp.cos(constant_wavenumber * ys)
+    jax-cfd config target used by data/kolmogorov/*.yaml. Works for the
+    2D spectral solver (called as ``forcing(vx, vy)``) and the N-D
+    finite-volume projection solver (called as ``forcing(*velocities)``)."""
+    if grid.ndim == 2:
+        _, ys = grid.mesh(offset=(0, 0))
+        f_const = constant_magnitude * jnp.cos(constant_wavenumber * ys)
+    else:
+        import numpy as np
 
-    def forcing(vx, vy):
-        fx = f_const + linear_coefficient * vx
-        fy = linear_coefficient * vy
-        return fx, fy
+        y = grid.axes(offset=0.5)[1]
+        sh = [1] * grid.ndim
+        sh[1] = len(y)
+        f_const = jnp.asarray(
+            (constant_magnitude * np.cos(constant_wavenumber * y)).reshape(sh),
+            jnp.float32,
+        )
+
+    def forcing(*vel):
+        out = [linear_coefficient * v for v in vel]
+        out[0] = out[0] + f_const
+        return tuple(out)
 
     return forcing

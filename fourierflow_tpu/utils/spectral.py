@@ -68,33 +68,37 @@ def velocity_to_vorticity_fd(vx: jax.Array, vy: jax.Array, grid: Grid) -> jax.Ar
     return dv_dx - du_dy
 
 
-def _downsample_component(u: jax.Array, direction: int, factor: int) -> jax.Array:
+def _downsample_component(u: jax.Array, direction: int, factor: int,
+                          ndim: int = 2) -> jax.Array:
     """Downsample one staggered velocity component: take the fine faces
     lying on each coarse face (stride ``factor`` starting at
-    ``factor-1`` along the face direction) and block-average the
-    transverse direction (jax-cfd base.resize semantics). 2D only;
-    trailing two axes are spatial."""
+    ``factor-1`` along the face direction) and block-average every
+    transverse direction (jax-cfd base.resize semantics). The trailing
+    ``ndim`` axes are spatial."""
     sl = [slice(None)] * u.ndim
-    ax_face = u.ndim - 2 + direction
+    ax_face = u.ndim - ndim + direction
     sl[ax_face] = slice(factor - 1, None, factor)
     u = u[tuple(sl)]
-    ax_tr = u.ndim - 2 + (1 - direction)
-    shape = list(u.shape)
-    shape[ax_tr] = shape[ax_tr] // factor
-    shape.insert(ax_tr + 1, factor)
-    return u.reshape(shape).mean(axis=ax_tr + 1)
+    for tr in range(ndim):
+        if tr == direction:
+            continue
+        ax_tr = u.ndim - ndim + tr
+        shape = list(u.shape)
+        shape[ax_tr] = shape[ax_tr] // factor
+        shape.insert(ax_tr + 1, factor)
+        u = u.reshape(shape).mean(axis=ax_tr + 1)
+    return u
 
 
 def downsample_staggered_velocity(in_grid: Grid, out_grid: Grid, velocity):
-    """Downsample staggered (vx offset (1, 0.5), vy offset (0.5, 1))
-    velocities between grids over the same domain."""
+    """Downsample staggered velocities (component i at offset 1 along axis
+    i, 0.5 elsewhere) between grids over the same domain. N-D."""
     factor = in_grid.shape[0] // out_grid.shape[0]
     if factor * out_grid.shape[0] != in_grid.shape[0]:
         raise ValueError(f"incompatible grids {in_grid.shape} -> {out_grid.shape}")
-    vx, vy = velocity
-    return (
-        _downsample_component(vx, 0, factor),
-        _downsample_component(vy, 1, factor),
+    ndim = in_grid.ndim
+    return tuple(
+        _downsample_component(v, i, factor, ndim) for i, v in enumerate(velocity)
     )
 
 

@@ -196,3 +196,28 @@ def test_generate_from_registry_name(tmp_path, monkeypatch):
     assert files
     with h5py.File(files[0]) as f:
         assert np.isfinite(f["vorticity"][...]).all()
+
+
+def test_generate_3d_projection_from_registry(tmp_path, monkeypatch):
+    """CLI: tiny 3D projection-method generation resolves and runs."""
+    import glob
+
+    import h5py
+
+    from fourierflow_tpu.commands.generate import kolmogorov as gen
+
+    monkeypatch.chdir(tmp_path)
+    gen(
+        "data/kolmogorov/three_dimensions/initial_conditions/test",
+        overrides=[
+            "n_trajectories=1", "warmup_steps=2", "inner_steps=1",
+            "sim_grid.shape=[16, 16, 16]",
+            "out_sizes=[{'size': 16, 'k': 1}, {'size': 8, 'k': 1}]",
+        ],
+    )
+    files = sorted(glob.glob(str(tmp_path / "data" / "**" / "*.h5"), recursive=True))
+    assert files
+    with h5py.File(files[-1]) as f:
+        assert set(f.keys()) >= {"vx", "vy", "vz"}
+        assert f["vx"].shape[-3:] == (16, 16, 16) or f["vx"].shape[-3:] == (8, 8, 8)
+        assert np.isfinite(f["vx"][...]).all()
