@@ -716,6 +716,57 @@ def _kolmogorov_data_configs():
     proj2d = _kol_projection_3d(256, 2, 111, inner=8, outer=200, warmup=50,
                                 ndim=2)
     out["data/kolmogorov/compare_methods/drag/projection"] = proj2d
+    # Re=4000 variant: 4096^2 sims, half viscosity, drag 0.05, forcing
+    # wavenumber 2 (reference data/kolmogorov/re_4000/**).
+    for split, seed in (("train", 42001), ("valid", 42002), ("test", 42003)):
+        for kind, outer, inner, warmup in (
+            ("initial_conditions", 0, 64, 2852), ("trajectories", 9764, 16, 0),
+        ):
+            cfg = _kol_data(
+                4096, 4, seed, inner=inner, outer=outer, warmup=warmup,
+                out_sizes=([{"size": s_, "k": 1} for s_ in (32, 64, 128, 256)]
+                           if outer else
+                           [{"size": s_, "k": 1} for s_ in (32, 64, 128, 256, 4096)]),
+                init_path=(f"{DATA}/kolmogorov/re_4000/initial_conditions/{split}_4096.nc"
+                           if outer else None))
+            eq = cfg["step_fn"]["equation"]
+            eq["viscosity"] = 5e-4
+            eq["drag"] = 0.05
+            eq["forcing_fn"]["constant_wavenumber"] = 2
+            cfg["time_step"]["viscosity"] = 5e-4
+            out[f"data/kolmogorov/re_4000/{kind}/{split}"] = cfg
+    # Decaying turbulence (no forcing, no drag): spectral baselines at
+    # several resolutions + projection-method counterparts
+    # (reference data/kolmogorov/decaying/**).
+    for size, inner in ((64, 2), (256, 8), (2048, 64)):
+        cfg = _kol_data(size, 4, 2308, inner=inner, outer=1426, warmup=0,
+                        out_sizes=[{"size": min(size, 64), "k": 1}],
+                        init_path=(f"{DATA}/kolmogorov/decaying/initial_conditions/test_{size}.nc"
+                                   if size == 2048 else None))
+        eq = cfg["step_fn"]["equation"]
+        eq["drag"] = 0.0
+        eq["forcing_fn"] = None
+        out[f"data/kolmogorov/decaying/baselines/{size}"] = cfg
+        proj = _kol_projection_3d(size, 4, 2308, inner=inner, outer=1426,
+                                  warmup=0, ndim=2)
+        proj["step_fn"]["forcing"] = None
+        proj["out_sizes"] = [{"size": min(size, 64), "k": 1}]
+        out[f"data/kolmogorov/decaying/projection/{size}"] = proj
+    out["data/kolmogorov/decaying/initial_conditions/test"] = _kol_data(
+        2048, 4, 2308, inner=64, outer=0, warmup=1426,
+        out_sizes=[{"size": s_, "k": 1} for s_ in (64, 256, 2048)])
+    # Large-domain variant: 4x domain length at the same resolution
+    # density (reference data/kolmogorov/large_domain/**).
+    big = "${eval:8 * ${import:numpy.pi}}"
+    for kind, outer, warmup in (("initial_conditions", 0, 2852),
+                                ("trajectories", 9764, 0)):
+        cfg = _kol_data(8192, 4, 55101, inner=16 if outer else 64,
+                        outer=outer, warmup=warmup,
+                        out_sizes=[{"size": s_, "k": 1} for s_ in (128, 256)],
+                        init_path=(f"{DATA}/kolmogorov/large_domain/initial_conditions/test_8192.nc"
+                                   if outer else None))
+        cfg["domain"] = [[0, big], [0, big]]
+        out[f"data/kolmogorov/large_domain/{kind}/test"] = cfg
     return out
 
 
