@@ -36,7 +36,8 @@ def main(argv=None):
 
     p_test = sub.add_parser("test", help="evaluate a checkpoint")
     _add_common(p_test)
-    p_test.add_argument("--checkpoint-path", required=True)
+    p_test.add_argument("--checkpoint-path", default=None,
+                        help="defaults to the newest trial checkpoint")
 
     p_predict = sub.add_parser("predict", help="inference timing benchmark")
     p_predict.add_argument("config_path", nargs="?", default=None,

@@ -13,9 +13,31 @@ from .train import build_routine, build_trainer
 logger = logging.getLogger(__name__)
 
 
-def main(config_path, checkpoint_path, overrides=None, trial: int = 0):
+def find_checkpoint(config_path: str, trial: int) -> str:
+    """Locate the best checkpoint of the newest run for this trial
+    (reference test.py globs ``trial-{trial}-*/epoch*.ckpt``)."""
+    import glob
+    import os
+
+    config_dir = os.path.dirname(os.path.abspath(config_path))
+    for pattern in ("best.ckpt", "last.ckpt"):
+        paths = sorted(
+            glob.glob(os.path.join(config_dir, "checkpoints",
+                                   f"trial-{trial}-*", pattern))
+        )
+        if paths:
+            return paths[-1]
+    raise FileNotFoundError(
+        f"no checkpoint found under {config_dir}/checkpoints/trial-{trial}-*"
+    )
+
+
+def main(config_path, checkpoint_path=None, overrides=None, trial: int = 0):
     cfg = load_config(config_path, overrides)
     seed = 7231 + trial
+    if checkpoint_path is None:
+        checkpoint_path = find_checkpoint(config_path, trial)
+        logger.info("using checkpoint %s", checkpoint_path)
     builder = instantiate(cfg["builder"])
     routine = build_routine(cfg["routine"], builder)
     template = routine.init(jax.random.PRNGKey(seed), builder.sample_batch())

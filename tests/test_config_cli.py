@@ -174,3 +174,47 @@ trainer:
     with pytest.raises(ExistingExperimentFound):
         train_main(str(cfg_path), no_test=True)
     train_main(str(cfg_path), no_test=True, resume=True)  # continues
+
+
+def test_cli_test_command_auto_checkpoint(tmp_path):
+    """`test` locates the newest trial checkpoint automatically (reference
+    commands/test.py glob semantics)."""
+    from fourierflow_tpu.builders.synthetic import (
+        gaussian_random_field,
+        solve_navier_stokes_2d,
+    )
+    from fourierflow_tpu.commands.__main__ import main as cli
+
+    import jax
+
+    w0 = gaussian_random_field(jax.random.PRNGKey(0), 12, 16, n_dims=2)
+    sol, _ = solve_navier_stokes_2d(
+        np.asarray(w0), 1e-3, t_end=1.0, delta_t=1e-2, record_steps=8, force="li"
+    )
+    data_path = tmp_path / "ns.h5"
+    with h5py.File(data_path, "w") as f:
+        f.create_dataset("u", data=sol)
+    cfg_path = tmp_path / "exp" / "config.yaml"
+    cfg_path.parent.mkdir()
+    cfg_path.write_text(f"""
+builder:
+  _target_: fourierflow_tpu.builders.NSMarkovBuilder
+  data_path: {data_path}
+  train_size: 8
+  test_size: 4
+  batch_size: 4
+routine:
+  _target_: fourierflow_tpu.routines.Grid2DMarkovRoutine
+  conv:
+    _target_: fourierflow_tpu.models.FNOFactorized2DBlock
+    modes: 4
+    width: 8
+    n_layers: 1
+    input_dim: 3
+  n_steps: 3
+  max_accumulations: 50
+trainer:
+  max_epochs: 2
+""")
+    cli(["train", str(cfg_path), "--no-test"])
+    cli(["test", str(cfg_path)])  # auto-locates the checkpoint
