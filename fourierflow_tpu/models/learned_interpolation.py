@@ -102,7 +102,13 @@ class PeriodicCNN(nn.Module):
         for i in range(self.n_layers - 1):
             x = nn.Conv(self.features, (3, 3), padding="CIRCULAR", name=f"conv_{i}")(x)
             x = nn.relu(x)
-        return nn.Conv(self.out_channels, (3, 3), padding="CIRCULAR", name="out")(x)
+        # Zero-init: the untrained model is exactly the second-order
+        # central scheme, so the long unrolled loss starts finite (random
+        # stencil corrections at CFL ~0.5 blow up within a few steps).
+        return nn.Conv(
+            self.out_channels, (3, 3), padding="CIRCULAR",
+            kernel_init=nn.initializers.zeros, name="out",
+        )(x)
 
 
 class LearnedInterpolationStep(nn.Module):

@@ -88,9 +88,17 @@ def test_learned_interpolation_trains_on_synthetic_data():
         "vy": rng.randn(b, s, s).astype(np.float32) * 0.1,
     }
     # Student-teacher: targets from the same solver under different
-    # (teacher) parameters, so the loss is actually reducible.
+    # (teacher) parameters, so the loss is actually reducible. The
+    # correction head is zero-initialized (untrained model == central
+    # scheme), so explicitly randomize the teacher's head.
     state = routine.init(jax.random.PRNGKey(0), (inputs, None))
     teacher = routine.init(jax.random.PRNGKey(7), (inputs, None))
+    tparams = jax.tree.map(lambda p: p, teacher.params)
+    out_kernel = tparams["params"]["coeff_net"]["out"]["kernel"]
+    tparams["params"]["coeff_net"]["out"]["kernel"] = (
+        0.05 * jax.random.normal(jax.random.PRNGKey(8), out_kernel.shape)
+    )
+    teacher = teacher.replace(params=tparams)
     _, (tvx, tvy) = routine._unroll_snapshots(
         teacher.params, jnp.asarray(inputs["vx"]), jnp.asarray(inputs["vy"]),
         L, 1, lambda a, b: (a, b),
