@@ -175,8 +175,7 @@ def _torus_li_ablations() -> Dict[str, dict]:
             cfg["routine"]["conv"]["share_fork"] = share_f
             abl[key] = cfg
 
-        for key, conv_residual in [("zongyi_markov", True),
-                                   ("zongyi_markov_residual", True)]:
+        for key in ("zongyi_markov", "zongyi_markov_residual"):
             cfg = markov()
             cfg["builder"]["batch_size"] = 190
             cfg["routine"]["conv"] = {

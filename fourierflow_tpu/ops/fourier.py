@@ -2,10 +2,10 @@
 
 The axon TPU backend's native FFT lowering is unreliable (eager fft
 dispatch raises UNIMPLEMENTED; jitted fft compiles are flaky — verified on
-TPU v5e). These wrappers therefore default to **dense-matmul DFTs on the
-MXU** on TPU (exact, deterministic, and fast for the grid sizes used:
-O(n^3) matmul beats a poorly-supported FFT up to ~1024), and XLA's FFT on
-CPU. Use ``set_default_impl`` to override globally.
+TPU v5e). These wrappers therefore default to **matmul DFTs on the MXU** on TPU
+(dense bases for short axes, the four-step Cooley-Tukey factorization —
+two sqrt(n)-sized matmul stages + twiddles — for axes >= 512), and XLA's
+FFT on CPU. Use ``set_default_impl`` to override globally.
 
 All functions operate on two trailing-or-named spatial axes and accept
 jnp complex arrays at the interface; internally everything is real-pair

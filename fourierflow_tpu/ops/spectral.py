@@ -135,7 +135,6 @@ def spectral_mix_axis(
     """
     n = x.shape[axis % x.ndim]
     modes = weight.shape[2]
-    ci_dim = weight.shape[0]
     weight = weight.astype(x.dtype)  # mixed precision: follow activations
     wr = weight[..., 0]
     wi = weight[..., 1]

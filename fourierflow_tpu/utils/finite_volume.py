@@ -71,11 +71,6 @@ def pressure_projection_nd(vel: Tuple[jax.Array, ...], h) -> Tuple[jax.Array, ..
     )
 
 
-def _interp_to_face(phi, axis_from_center_to_face):
-    """Center/face central interpolation by half a cell along one axis."""
-    return 0.5 * (phi + _roll(phi, -1, axis_from_center_to_face))
-
-
 def kolmogorov_forcing_fv(
     grid, constant_magnitude: float = 1.0, constant_wavenumber: int = 4,
     linear_coefficient: float = 0.0,
