@@ -260,7 +260,7 @@ class KolmogorovMarkovDataset:
 
     def __init__(self, path: str, k: int = 1, in_memory: bool = True):
         self.k = k
-        with h5py.File(path, "r") as f:
+        with h5py.File(_resolve_data_path(path), "r") as f:
             self.w = f["vorticity"][...]  # [S, T, X, Y]
             self.vx = f["vx"][...]
             self.vy = f["vy"][...]
@@ -311,6 +311,9 @@ class KolmogorovTrajectoryDataset:
     def __init__(self, init_path: str, path: str, corr_path: str, k: int = 1,
                  end: Optional[int] = None, in_memory: bool = True):
         self.k = k
+        init_path = _resolve_data_path(init_path)
+        path = _resolve_data_path(path)
+        corr_path = _resolve_data_path(corr_path)
         with h5py.File(path, "r") as f:
             w = f["vorticity"][...]  # [S, T, X, Y]
             vx = f["vx"][...]
@@ -337,8 +340,12 @@ class KolmogorovTrajectoryDataset:
         if cw.shape[1] == w.shape[1]:
             from ..utils.spectral import downsample_vorticity
 
+            # jit: the spectral downsample dispatches complex arithmetic,
+            # which is UNIMPLEMENTED when run eagerly on the axon backend.
             cw0 = np.asarray(
-                downsample_vorticity(w0[..., None], cw.shape[-1])[..., 0]
+                jax.jit(lambda a: downsample_vorticity(a, cw.shape[-1]))(
+                    w0[..., None]
+                )[..., 0]
             )
             cw = with_init(cw0, cw)
         self.corr_data = np.moveaxis(cw[:, sl], 1, -1)
@@ -357,6 +364,22 @@ class KolmogorovTrajectoryDataset:
         }
 
 
+def _resolve_data_path(path: str) -> str:
+    """Expand env vars and fall back between .nc and .h5 extensions: the
+    reference writes netCDF, our generator writes HDF5 with the same
+    naming scheme; h5py reads netCDF4 files too, so either works when the
+    file exists."""
+    import os
+
+    path = os.path.expandvars(os.path.expanduser(path))
+    if not os.path.exists(path):
+        stem, ext = os.path.splitext(path)
+        alt = stem + (".h5" if ext == ".nc" else ".nc")
+        if os.path.exists(alt):
+            return alt
+    return path
+
+
 class KolmogorovVelocityDataset:
     """Unrolled-velocity training items for the learned-interpolation
     model (reference KolmogorovJAXDataset, builders/kolmogorov.py:71-108):
@@ -368,7 +391,7 @@ class KolmogorovVelocityDataset:
         del inner_steps  # accepted for config parity; stride is `k`
         self.k = k
         self.L = unroll_length
-        with h5py.File(path, "r") as f:
+        with h5py.File(_resolve_data_path(path), "r") as f:
             self.vx = f["vx"][...]  # [S, T, X, Y]
             self.vy = f["vy"][...]
         self.B = self.vx.shape[0]
@@ -400,6 +423,8 @@ class KolmogorovVelocityTrajectoryDataset:
     def __init__(self, init_path: str, corr_path: str, path: Optional[str] = None,
                  k: int = 1, end: Optional[int] = None, inner_steps: int = 1,
                  outer_steps: int = 100, in_memory: bool = True):
+        init_path = _resolve_data_path(init_path)
+        corr_path = _resolve_data_path(corr_path)
         with h5py.File(init_path, "r") as f:
             self.vx0 = f["vx"][...]  # [S, X, Y]
             self.vy0 = f["vy"][...]
