@@ -218,3 +218,26 @@ trainer:
 """)
     cli(["train", str(cfg_path), "--no-test"])
     cli(["test", str(cfg_path)])  # auto-locates the checkpoint
+
+
+def test_plot_table_from_metrics(tmp_path):
+    """plot.table rebuilds result tables from local metrics.jsonl files
+    (the reference pulls these from the author's wandb account)."""
+    import json
+
+    from fourierflow_tpu.commands import plot as plot_mod
+
+    run_dir = tmp_path / "exp" / "checkpoints" / "trial-0-123"
+    run_dir.mkdir(parents=True)
+    with open(run_dir / "metrics.jsonl", "w") as f:
+        f.write(json.dumps({"train_loss": 0.5, "valid_loss": 0.4}) + "\n")
+        f.write(json.dumps({"test_loss": 0.31}) + "\n")
+    text = plot_mod.table(str(tmp_path), keys=["test_loss", "valid_loss"])
+    assert "0.31" in text and "0.4" in text
+
+    from fourierflow_tpu.viz.heatmap import midpoint_norm
+
+    arr = np.array([[-2.0, 0.0], [1.0, 2.0]])
+    normed = midpoint_norm(arr)
+    assert normed.min() >= 0 and normed.max() <= 1
+    assert normed[0, 1] == 0.5
