@@ -22,17 +22,38 @@ logger = logging.getLogger(__name__)
 __all__ = ["Callback", "ModelCheckpoint", "JSONLogger", "save_state", "load_state"]
 
 
-def save_state(path: str, state) -> None:
+def save_state(path: str, state, backend: str = "flax") -> None:
+    """Serialize a train state: 'flax' (single msgpack file, default) or
+    'orbax' (a checkpoint directory — async-friendly, per-leaf layout,
+    the production choice for very large states)."""
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(
+                os.path.abspath(path), jax.tree.map(np.asarray, state),
+                force=True,
+            )
+        return
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "wb") as f:
         f.write(flax.serialization.to_bytes(state))
 
 
 def load_state(path: str, template):
-    """Restore a train state saved by ``save_state``. ``template`` is a
+    """Restore a train state saved by ``save_state`` (either backend;
+    orbax checkpoints are directories). ``template`` is a
     freshly-initialized state with the same treedef (resolution-dependent
     buffers are rebuilt from shapes at init, so super-resolution loading
     needs no key stripping — cf. reference routines/base.py:89-102)."""
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+
+        target = jax.tree.map(np.asarray, template)
+        with ocp.PyTreeCheckpointer() as ckptr:
+            restored = ckptr.restore(os.path.abspath(path), item=target)
+        treedef = jax.tree.structure(template)
+        return jax.tree.unflatten(treedef, jax.tree.leaves(restored))
     with open(path, "rb") as f:
         return flax.serialization.from_bytes(template, f.read())
 

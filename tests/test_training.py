@@ -2,6 +2,8 @@
 trainer, on CPU with tiny models. Mirrors the reference call stack
 (SURVEY.md §3.1) at toy scale."""
 
+import os
+
 import h5py
 import jax
 import numpy as np
@@ -263,3 +265,20 @@ def test_prediction_dump(synthetic_dataset, tmp_path):
         assert f["vorticity"].shape == preds.shape
         assert f["vx"].shape == preds.shape
         assert np.isfinite(f["vx"][...]).all()
+
+
+def test_orbax_checkpoint_roundtrip(synthetic_dataset, tmp_path):
+    """save_state/load_state with the orbax backend (directory layout)."""
+    from fourierflow_tpu.trainers.callbacks import load_state, save_state
+
+    routine = _markov_routine()
+    builder = NSMarkovBuilder(synthetic_dataset, train_size=8, test_size=4, batch_size=4)
+    state = routine.init(jax.random.PRNGKey(0), builder.sample_batch())
+    path = str(tmp_path / "ckpt_orbax")
+    save_state(path, state, backend="orbax")
+    assert os.path.isdir(path)
+
+    template = routine.init(jax.random.PRNGKey(1), builder.sample_batch())
+    restored = load_state(path, template)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
