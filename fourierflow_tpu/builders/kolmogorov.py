@@ -413,6 +413,28 @@ class KolmogorovVelocityDataset:
         }
         return inputs, outputs
 
+    def device_train_data(self):
+        """Device-resident view for the trainer's scanned fast path (see
+        KolmogorovMarkovDataset.device_train_data)."""
+        data = {"vx": self.vx, "vy": self.vy}
+        k, L, T = self.k, self.L, self.T
+
+        def sample_fn(arrays, idx):
+            import jax.numpy as jnp
+
+            b = idx // T
+            t = idx % T
+            steps = jnp.arange(1, L + 1) * k
+            t_out = t[:, None] + steps[None, :]
+            inputs = {"vx": arrays["vx"][b, t], "vy": arrays["vy"][b, t]}
+            outputs = {
+                "vx": jnp.moveaxis(arrays["vx"][b[:, None], t_out], 1, -1),
+                "vy": jnp.moveaxis(arrays["vy"][b[:, None], t_out], 1, -1),
+            }
+            return inputs, outputs
+
+        return data, sample_fn, len(self)
+
 
 class KolmogorovVelocityTrajectoryDataset:
     """Whole-trajectory eval items for the learned-interpolation model

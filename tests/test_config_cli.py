@@ -241,3 +241,66 @@ def test_plot_table_from_metrics(tmp_path):
     normed = midpoint_norm(arr)
     assert normed.min() >= 0 and normed.max() <= 1
     assert normed[0, 1] == 0.5
+
+
+@pytest.fixture()
+def tiny_experiment(tmp_path):
+    """A tiny trained markov experiment on synthetic data (shared by the
+    infer/sample CLI tests)."""
+    from fourierflow_tpu.builders.synthetic import (
+        gaussian_random_field,
+        solve_navier_stokes_2d,
+    )
+    from fourierflow_tpu.commands.__main__ import main as cli
+
+    import jax
+
+    w0 = gaussian_random_field(jax.random.PRNGKey(0), 12, 16, n_dims=2)
+    sol, _ = solve_navier_stokes_2d(
+        np.asarray(w0), 1e-3, t_end=1.0, delta_t=1e-2, record_steps=8, force="li"
+    )
+    data_path = tmp_path / "ns.h5"
+    with h5py.File(data_path, "w") as f:
+        f.create_dataset("u", data=sol)
+    cfg_path = tmp_path / "exp" / "config.yaml"
+    cfg_path.parent.mkdir()
+    cfg_path.write_text(f"""
+builder:
+  _target_: fourierflow_tpu.builders.NSMarkovBuilder
+  data_path: {data_path}
+  train_size: 8
+  test_size: 4
+  batch_size: 4
+routine:
+  _target_: fourierflow_tpu.routines.Grid2DMarkovRoutine
+  conv:
+    _target_: fourierflow_tpu.models.FNOFactorized2DBlock
+    modes: 4
+    width: 8
+    n_layers: 1
+    input_dim: 3
+  n_steps: 3
+  max_accumulations: 50
+  step_size: 0.1
+trainer:
+  max_epochs: 1
+""")
+    cli(["train", str(cfg_path), "--no-test"])
+    return cfg_path
+
+
+def test_cli_infer_and_sample(tiny_experiment, tmp_path):
+    from fourierflow_tpu.commands.infer import main as infer_main
+    from fourierflow_tpu.commands.sample import main as sample_main
+
+    t = infer_main(str(tiny_experiment), n_steps=5)
+    assert np.isfinite(t) and t > 0
+
+    out = sample_main(
+        str(tiny_experiment), out_path=str(tmp_path / "sample.pkl")
+    )
+    import pickle
+
+    with open(out, "rb") as f:
+        batch, preds = pickle.load(f)
+    assert np.isfinite(np.asarray(preds)).all()
