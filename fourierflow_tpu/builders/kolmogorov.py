@@ -535,6 +535,9 @@ class KolmogorovBuilder(Builder):
         return self._batches(self.train_dataset, shuffle=True, rng=rng)
 
     def device_train_data(self):
+        # Raises AttributeError for datasets without the device protocol
+        # (e.g. KolmogorovMultiDataset) — the Trainer then falls back to
+        # the host-streamed loop.
         return self.train_dataset.device_train_data()
 
     def val_batches(self):
@@ -548,7 +551,11 @@ class KolmogorovBuilder(Builder):
         return -(-len(self.train_dataset) // self.batch_size)
 
     def sample_batch(self):
-        return self.train_dataset.sample(np.arange(min(self.batch_size, len(self.train_dataset))))
+        if hasattr(self.train_dataset, "sample"):
+            return self.train_dataset.sample(
+                np.arange(min(self.batch_size, len(self.train_dataset)))
+            )
+        return next(iter(self.train_batches()))
 
     def inference_data(self):
         ds = self.test_dataset

@@ -146,16 +146,24 @@ class Trainer:
         self._hook("on_fit_start", routine, state)
         normalizes = getattr(routine, "should_normalize", False)
 
-        has_device_proto = hasattr(builder, "device_train_data")
+        device_proto = None
+        if self.fast_loop and self.mesh is None and self.limit_train_batches is None:
+            try:
+                # Indexed device-resident dataset (virtual (traj, time)
+                # items); underlying datasets without the protocol (e.g.
+                # the multi-resolution round-robin) raise AttributeError.
+                proto_fn = getattr(builder, "device_train_data", None)
+                device_proto = proto_fn() if proto_fn is not None else None
+            except AttributeError:
+                device_proto = None
         use_fast = (
             self.fast_loop
             and self.mesh is None
             and self.limit_train_batches is None
-            and (hasattr(builder, "train_data") or has_device_proto)
+            and (hasattr(builder, "train_data") or device_proto is not None)
         )
-        if use_fast and has_device_proto:
-            # Indexed device-resident dataset (virtual (traj, time) items).
-            device_data, sample_fn, n_items = builder.device_train_data()
+        if use_fast and device_proto is not None:
+            device_data, sample_fn, n_items = device_proto
             device_data = jax.tree.map(jnp.asarray, device_data)
             train_epoch = make_scan_epoch_indexed(
                 routine, builder.batch_size, n_items, sample_fn, accumulate=False)

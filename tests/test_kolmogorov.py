@@ -435,3 +435,40 @@ def test_projection_method_3d():
     h = 2 * np.pi / 16
     div = ((u - np.roll(u, 1, 0)) + (v - np.roll(v, 1, 1)) + (w - np.roll(w, 1, 2))) / h
     np.testing.assert_allclose(div, 0.0, atol=2e-3)
+
+
+def test_multi_dataset_falls_back_to_host_loop(kolmogorov_files):
+    """KolmogorovMultiDataset has no device protocol; the Trainer must
+    fall back to the host-streamed loop rather than crash."""
+    import jax
+
+    from fourierflow_tpu.builders import (
+        KolmogorovBuilder,
+        KolmogorovMultiDataset,
+        KolmogorovTrajectoryDataset,
+    )
+    from fourierflow_tpu.models import FNOFactorized2DBlock
+    from fourierflow_tpu.routines import Grid2DMarkovRoutine
+    from fourierflow_tpu.routines.base import make_optimizer
+    from fourierflow_tpu.trainers import Trainer
+
+    d = kolmogorov_files
+    builder = KolmogorovBuilder(
+        train_dataset=KolmogorovMultiDataset(
+            [str(d / "train_64_1.h5"), str(d / "train_32_1.h5")], k=1, batch_size=2),
+        valid_dataset=KolmogorovTrajectoryDataset(
+            init_path=str(d / "init_64.h5"), path=str(d / "train_64_1.h5"),
+            corr_path=str(d / "train_32_1.h5"), k=1),
+        test_dataset=KolmogorovTrajectoryDataset(
+            init_path=str(d / "init_64.h5"), path=str(d / "train_64_1.h5"),
+            corr_path=str(d / "train_32_1.h5"), k=1),
+        batch_size=2,
+    )
+    model = FNOFactorized2DBlock(modes=4, width=8, input_dim=5, n_layers=1)
+    routine = Grid2DMarkovRoutine(
+        model, n_steps=3, max_accumulations=50, use_velocity=True,
+        optimizer=make_optimizer(lr=1e-3),
+    )
+    trainer = Trainer(max_epochs=2, data_parallel=False)
+    trainer.fit(routine, builder)
+    assert np.isfinite(trainer.logs["train_loss"])
