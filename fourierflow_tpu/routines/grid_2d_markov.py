@@ -186,7 +186,9 @@ class Grid2DMarkovRoutine(Routine):
         (grid_2d_markov.py:195-326). Returns (preds, step_losses, yy)."""
         data = batch["data"]  # [b, X, Y, T]
         b, sx, sy, t_total = data.shape
-        n_steps = self.n_steps or t_total - 1
+        # Clamp to the available horizon (the reference indexes out of
+        # range instead when n_steps exceeds the trajectory length).
+        n_steps = min(self.n_steps or t_total - 1, t_total - 1)
 
         w0 = data[..., -n_steps - 1][..., None]  # [b, X, Y, 1]
         yy = data[..., -n_steps:]
