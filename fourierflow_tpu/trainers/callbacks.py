@@ -36,8 +36,12 @@ def save_state(path: str, state, backend: str = "flax") -> None:
             )
         return
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    with open(path, "wb") as f:
+    # Atomic write: a crash/kill mid-save must never corrupt an existing
+    # checkpoint (temp file + rename on the same filesystem).
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(flax.serialization.to_bytes(state))
+    os.replace(tmp, path)
 
 
 def load_state(path: str, template):
