@@ -282,23 +282,31 @@ class KolmogorovMarkovDataset:
             "y": self.w[b, t + k][..., None],
         }
 
-    def device_train_data(self):
+    def device_train_data(self, fields=("w", "vx", "vy")):
         """Device-resident view for the trainer's scanned fast path: the
         raw [S, T, X, Y] arrays live on device once; per-step batches are
         gathered inside the epoch scan (2.7x over host-streamed batches
-        measured on the axon relay)."""
-        data = {"w": self.w, "vx": self.vx, "vy": self.vy}
+        measured on the axon relay).
+
+        ``fields``: which arrays to put on device. The Markov routine with
+        ``use_velocity`` recovers velocities spectrally from vorticity, so
+        ``fields=("w",)`` uploads a third of the bytes (significant over
+        the relay for multi-hundred-MB datasets).
+        """
+        data = {f: getattr(self, f) for f in fields}
         k, T = self.k, self.T
 
         def sample_fn(arrays, idx):
             b = idx // T
             t = idx % T
-            return {
+            out = {
                 "x": arrays["w"][b, t][..., None],
-                "vx": arrays["vx"][b, t][..., None],
-                "vy": arrays["vy"][b, t][..., None],
                 "y": arrays["w"][b, t + k][..., None],
             }
+            for f in ("vx", "vy"):
+                if f in arrays:
+                    out[f] = arrays[f][b, t][..., None]
+            return out
 
         return data, sample_fn, len(self)
 
