@@ -542,11 +542,12 @@ class KolmogorovBuilder(Builder):
     def train_batches(self, rng=None):
         return self._batches(self.train_dataset, shuffle=True, rng=rng)
 
-    def device_train_data(self):
+    def device_train_data(self, **kwargs):
         # Raises AttributeError for datasets without the device protocol
         # (e.g. KolmogorovMultiDataset) — the Trainer then falls back to
-        # the host-streamed loop.
-        return self.train_dataset.device_train_data()
+        # the host-streamed loop. kwargs (e.g. ``fields``) pass through to
+        # the dataset.
+        return self.train_dataset.device_train_data(**kwargs)
 
     def val_batches(self):
         return self._batches(self.valid_dataset)

@@ -85,6 +85,10 @@ class Grid2DMarkovRoutine(Routine):
         # fixed random spatial permutation applied to inputs, inverted on
         # outputs — tests whether the operator exploits grid structure.
         self.pred_path = pred_path
+        # Everything this routine consumes is derived from the vorticity
+        # (velocities are recovered spectrally in build_features), so the
+        # trainer's device-resident fast path only needs the 'w' array.
+        self.device_data_fields = ("w",)
         self.shuffle_grid = shuffle_grid
         if shuffle_grid:
             if isinstance(grid_size, int):

@@ -153,7 +153,20 @@ class Trainer:
                 # items); underlying datasets without the protocol (e.g.
                 # the multi-resolution round-robin) raise AttributeError.
                 proto_fn = getattr(builder, "device_train_data", None)
-                device_proto = proto_fn() if proto_fn is not None else None
+                if proto_fn is None:
+                    device_proto = None
+                else:
+                    # Routines that rebuild everything from a subset of the
+                    # arrays (e.g. Markov recovers velocities spectrally
+                    # from vorticity) declare `device_data_fields` so only
+                    # those arrays are uploaded over the relay.
+                    fields = getattr(routine, "device_data_fields", None)
+                    try:
+                        device_proto = (
+                            proto_fn(fields=fields) if fields else proto_fn()
+                        )
+                    except TypeError:  # dataset without a fields parameter
+                        device_proto = proto_fn()
             except AttributeError:
                 device_proto = None
         use_fast = (

@@ -335,6 +335,45 @@ def test_kolmogorov_trainer_fast_path(kolmogorov_files):
     assert trainer.global_step == 2 * (len(builder.train_dataset) // 4)
 
 
+def test_fast_path_uploads_only_declared_fields(kolmogorov_files):
+    """The Markov routine declares device_data_fields=('w',); the Trainer
+    must pass that through so vx/vy never cross the relay (3x less
+    transfer for large datasets)."""
+    from fourierflow_tpu.builders import (
+        KolmogorovBuilder,
+        KolmogorovMarkovDataset,
+        KolmogorovTrajectoryDataset,
+    )
+    from fourierflow_tpu.models import FNOFactorized2DBlock
+    from fourierflow_tpu.routines import Grid2DMarkovRoutine
+    from fourierflow_tpu.routines.base import make_optimizer
+    from fourierflow_tpu.trainers import Trainer
+
+    d = kolmogorov_files
+    train_ds = KolmogorovMarkovDataset(str(d / "train_64_1.h5"), k=1)
+    seen = {}
+    orig = train_ds.device_train_data
+
+    def spy(fields=("w", "vx", "vy")):
+        seen["fields"] = fields
+        return orig(fields=fields)
+
+    train_ds.device_train_data = spy
+    traj = KolmogorovTrajectoryDataset(
+        init_path=str(d / "init_64.h5"), path=str(d / "train_64_1.h5"),
+        corr_path=str(d / "train_32_1.h5"), k=1)
+    builder = KolmogorovBuilder(train_ds, traj, traj, batch_size=4)
+    model = FNOFactorized2DBlock(modes=4, width=8, input_dim=5, n_layers=1)
+    routine = Grid2DMarkovRoutine(
+        model, n_steps=3, max_accumulations=50, use_velocity=True,
+        optimizer=make_optimizer(lr=1e-3),
+    )
+    trainer = Trainer(max_epochs=2, data_parallel=False)
+    trainer.fit(routine, builder)
+    assert seen["fields"] == ("w",)
+    assert np.isfinite(trainer.logs["train_loss"])
+
+
 def test_projection_method_2d_matches_spectral_statistics():
     """The native finite-volume projection solver: divergence-free
     evolution whose short-horizon trajectory correlates with the
