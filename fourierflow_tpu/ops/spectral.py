@@ -35,6 +35,7 @@ from .fourier import rfftn_pair as _rfftn_pair
 
 __all__ = [
     "spectral_mix_axis",
+    "spectral_mix_dual",
     "spectral_lowpass_axis",
     "spectral_conv_2d_full",
     "spectral_conv_3d_full",
@@ -187,6 +188,67 @@ def spectral_mix_axis(
         out = jnp.fft.irfft(yf, n=n, axis=-2, norm="ortho")
 
     return jnp.moveaxis(out, -2, axis % x.ndim)
+
+
+def _pack_weight(w, dtype):
+    """[Ci, Co, M, 2] complex pairs -> [M, 2Ci, 2Co] real block form."""
+    w = w.astype(dtype)
+    wr, wi = jnp.moveaxis(w[..., 0], 2, 0), jnp.moveaxis(w[..., 1], 2, 0)
+    return jnp.concatenate(
+        [
+            jnp.concatenate([wr, wi], axis=2),
+            jnp.concatenate([-wi, wr], axis=2),
+        ],
+        axis=1,
+    )
+
+
+def spectral_mix_dual(
+    x: jax.Array,
+    wy: jax.Array,
+    wx: jax.Array,
+    *,
+    impl: str = "auto",
+) -> jax.Array:
+    """Both separable F-FNO branches in one matmul chain (equals
+    ``spectral_mix_axis(x, wy, 2) + spectral_mix_axis(x, wx, 1)``).
+
+    TPU fast path for square grids: the y-branch input (native layout) and
+    the x-branch input (spatial transpose) are stacked along the leading
+    batch dim, so the truncated-rDFT, per-mode mixing, and inverse-DFT
+    matmuls each dispatch once at double the rows — fewer, larger MXU
+    matmuls than two independent branch chains (the per-branch weights
+    ride the flattened (branch, mode) bmm batch, never a multi-batch-dim
+    einsum, which the axon compiler mishandles).
+
+    Requires ``x`` [B, N, N, C] (square); non-square grids and the 'fft'
+    impl fall back to the two-branch composition.
+    """
+    b, sx, sy, ci = x.shape
+    if sx != sy or resolve_impl(impl, sx) != "dft":
+        return spectral_mix_axis(x, wy, axis=2, impl=impl) + spectral_mix_axis(
+            x, wx, axis=1, impl=impl
+        )
+    n, modes = sx, wy.shape[2]
+    co = wy.shape[1]
+    er, ei = (jnp.asarray(m).astype(x.dtype) for m in rdft_basis(n, modes))
+    cr, ci_ = (jnp.asarray(m).astype(x.dtype) for m in irdft_basis(n, modes))
+    fwd_basis = jnp.concatenate([er, ei], axis=1)  # [n, 2M]
+    inv_basis = jnp.concatenate([cr, ci_], axis=0)  # [2M, n]
+
+    xs = jnp.concatenate([x, x.transpose(0, 2, 1, 3)], axis=0)  # [2b, n, n, C]
+    s = jnp.einsum("...nc,nk->...kc", xs, fwd_basis)  # [2b, n, 2M, C]
+    sp = jnp.concatenate([s[..., :modes, :], s[..., modes:, :]], axis=-1)
+    # Flatten (branch, mode) into ONE leading bmm batch (see permode_cmul).
+    sp = sp.reshape(2, b * n, modes, 2 * ci)
+    sp = jnp.moveaxis(sp, 2, 1).reshape(2 * modes, b * n, 2 * ci)
+    w2 = jnp.concatenate([_pack_weight(wy, x.dtype), _pack_weight(wx, x.dtype)])
+    yp = sp @ w2  # [2M', rows, 2Co]
+    yp = jnp.moveaxis(yp.reshape(2, modes, b * n, 2 * co), 1, 2)
+    yp = yp.reshape(2 * b, n, modes, 2 * co)
+    y = jnp.concatenate([yp[..., :co], yp[..., co:]], axis=-2)  # [2b, n, 2M, Co]
+    out = jnp.einsum("...kc,kn->...nc", y, inv_basis)  # [2b, n, n, Co]
+    return out[:b] + out[b:].transpose(0, 2, 1, 3)
 
 
 def spectral_lowpass_axis(x: jax.Array, modes: int, axis: int, *, impl: str = "auto") -> jax.Array:

@@ -20,9 +20,12 @@ Usage (defaults reproduce the 512-trajectory campaign):
 
 import argparse
 import json
+import logging
 import os
 import sys
 import time
+
+logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -59,6 +59,38 @@ def test_spectral_mix_axis_dft_equals_fft():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5)
 
 
+def test_spectral_mix_dual_equals_branch_composition():
+    """The stacked dual-branch fast path (square grids) must match the
+    two-call composition; non-square inputs take the fallback."""
+    from fourierflow_tpu.ops.spectral import spectral_mix_dual
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(3, 16, 16, 6).astype(np.float32))
+    wy = jnp.asarray((0.1 * rng.randn(6, 6, 5, 2)).astype(np.float32))
+    wx = jnp.asarray((0.1 * rng.randn(6, 6, 5, 2)).astype(np.float32))
+    want = spectral_mix_axis(x, wy, axis=2, impl="dft") + spectral_mix_axis(
+        x, wx, axis=1, impl="dft"
+    )
+    got = spectral_mix_dual(x, wy, wx, impl="dft")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
+
+    # gradients flow identically (training uses both fwd+bwd)
+    f_ref = lambda x, wy, wx: jnp.sum(
+        (spectral_mix_axis(x, wy, axis=2) + spectral_mix_axis(x, wx, axis=1)) ** 2
+    )
+    f_dual = lambda x, wy, wx: jnp.sum(spectral_mix_dual(x, wy, wx) ** 2)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(x, wy, wx)
+    g_dual = jax.grad(f_dual, argnums=(0, 1, 2))(x, wy, wx)
+    for a, b in zip(g_ref, g_dual):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+    # non-square fallback
+    xr = jnp.asarray(rng.randn(2, 12, 16, 6).astype(np.float32))
+    want = spectral_mix_axis(xr, wy, axis=2) + spectral_mix_axis(xr, wx, axis=1)
+    got = spectral_mix_dual(xr, wy, wx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
+
+
 def test_spectral_mix_full_modes_roundtrip():
     """With modes == n//2+1 and identity per-mode weights, the op is the
     identity map."""
