@@ -163,6 +163,10 @@ def generate_kolmogorov(
     stacked snapshot arrays [outer_steps, size, size] (or single fields
     when only warming up).
 
+    Passing a stacked ``seed`` of shape [B, 2] (with initial fields, if
+    any, carrying a matching leading batch dim) simulates B trajectories
+    in one vmapped program; every output gains a leading batch dim.
+
     For very large sim grids (the reference generates at 2048^2,
     data/kolmogorov/re_1000/trajectories/train.yaml) pass a
     ``jax.sharding.Mesh``: the spectral state is sharded along its first
@@ -177,6 +181,17 @@ def generate_kolmogorov(
         from ..config import instantiate
 
         step_fn = instantiate(step_fn)
+
+    # Batched generation: a [B, 2] stack of PRNG keys (and/or leading-batch
+    # initial fields) simulates B independent trajectories in ONE vmapped
+    # XLA program — one dispatch and one host transfer per batch instead of
+    # per trajectory, which amortizes the relay latency and fills the MXU
+    # at small sim grids (the reference fans out whole processes with
+    # dask-cuda instead, commands/generate.py:47-50).
+    batched = getattr(seed, "ndim", 1) == 2
+    if batched and mesh is not None:
+        raise ValueError("batched generation and mesh sharding are exclusive")
+    vwrap = jax.vmap if batched else (lambda f: f)
 
     # The spectral vorticity->velocity solve only exists in 2D; the 3D
     # projection path carries velocities directly.
@@ -201,29 +216,28 @@ def generate_kolmogorov(
             if sim_grid.ndim == 3:
                 from ..utils.finite_volume import filtered_velocity_field_3d
 
-                state = jax.jit(
+                state = jax.jit(vwrap(
                     lambda k: filtered_velocity_field_3d(
                         k, sim_grid, max_velocity, peak_wavenumber)
-                )(seed)
+                ))(seed)
             else:
-                state = jax.jit(
+                state = jax.jit(vwrap(
                     lambda k: filtered_velocity_field(
                         k, sim_grid, max_velocity, peak_wavenumber)
-                )(seed)
+                ))(seed)
         else:
             names = ["vx", "vy", "vz"][: sim_grid.ndim]
             state = tuple(jnp.asarray(initial_field[n]) for n in names)
     elif initial_field is None:
-        @jax.jit
         def make_state(seed):
             vx, vy = filtered_velocity_field(seed, sim_grid, max_velocity, peak_wavenumber)
             w0 = velocity_to_vorticity_fd(vx, vy, sim_grid)
             return rfft2(w0, axes=(0, 1))
 
-        state = make_state(seed)
+        state = jax.jit(vwrap(make_state))(seed)
     else:
         vorticity0 = jnp.asarray(initial_field["vorticity"])
-        state = jax.jit(lambda w: rfft2(w, axes=(0, 1)))(vorticity0)
+        state = jax.jit(lambda w: rfft2(w, axes=(-2, -1)))(vorticity0)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
@@ -233,15 +247,15 @@ def generate_kolmogorov(
     outer_step_fn = repeated(step_fn, inner_steps)
 
     if warmup_steps > 0:
-        warm = jax.jit(repeated(outer_step_fn, warmup_steps))
+        warm = jax.jit(vwrap(repeated(outer_step_fn, warmup_steps)))
         start = time.time()
         state = warm(state)
-        outs = jax.jit(downsample)(state)
+        outs = jax.jit(vwrap(downsample))(state)
         outs = jax.tree.map(np.asarray, outs)
         elapsed = np.float32(time.time() - start)
         return outs, elapsed
 
-    traj_fn = jax.jit(trajectory(outer_step_fn, outer_steps, downsample))
+    traj_fn = jax.jit(vwrap(trajectory(outer_step_fn, outer_steps, downsample)))
     start = time.time()
     _, trajs = traj_fn(state)
     trajs = jax.tree.map(np.asarray, trajs)

@@ -87,12 +87,18 @@ def kolmogorov(config_path: str, overrides=None):
         f.attrs["inner_steps"] = inner_steps
         files[key] = f
 
+    # Trajectories per vmapped dispatch: amortizes relay latency and fills
+    # the MXU at small sim grids; 1 preserves the sequential path (large
+    # grids / mesh sharding).
+    gen_batch = max(1, int(cfg.get("generation_batch", 1)))
     try:
-        for i in range(n_traj):
+        for start in range(0, n_traj, gen_batch):
+            bsz = min(gen_batch, n_traj - start)
+            idx = slice(start, start + bsz)
             initial_field = None
             if init_file is not None:
                 initial_field = {
-                    name: init_file[name][i]
+                    name: init_file[name][idx] if bsz > 1 else init_file[name][start]
                     for name in (["vorticity"] if ndim == 2 else []) + fields
                     if name in init_file
                 }
@@ -102,7 +108,7 @@ def kolmogorov(config_path: str, overrides=None):
                 method=cfg.get("method", "pseudo_spectral"),
                 step_fn=step_cfg,
                 downsample_fn=downsample_fn,
-                seed=keys[i],
+                seed=keys[idx] if bsz > 1 else keys[start],
                 initial_field=initial_field,
                 peak_wavenumber=cfg.get("peak_wavenumber", 4.0),
                 max_velocity=cfg.get("max_velocity", 7.0),
@@ -115,10 +121,15 @@ def kolmogorov(config_path: str, overrides=None):
                 k = key[1]
                 for name in fields:
                     arr = outs[key][name]
+                    if bsz == 1:
+                        arr = arr[None]
                     # subsample snapshots by k (generate.py:155-166)
-                    f[name][i] = arr[k - 1 :: k] if outer_steps > 0 else arr
-                f["elapsed"][i] = elapsed
-            logger.info("trajectory %d/%d done in %.1fs", i + 1, n_traj, elapsed)
+                    f[name][idx] = arr[:, k - 1 :: k] if outer_steps > 0 else arr
+                f["elapsed"][idx] = elapsed / bsz
+            logger.info(
+                "trajectories %d-%d/%d done in %.1fs",
+                start + 1, start + bsz, n_traj, elapsed,
+            )
     finally:
         for f in files.values():
             f.close()

@@ -252,6 +252,75 @@ def test_kolmogorov_datasets_and_training(kolmogorov_files):
     assert "valid_time_until" in trainer.logs
 
 
+def test_batched_generation_matches_sequential():
+    """vmap-batched trajectory generation (stacked seeds) must reproduce
+    the per-trajectory results — one dispatch per batch instead of per
+    trajectory."""
+    import jax
+
+    from fourierflow_tpu.builders.kolmogorov import (
+        downsample_vorticity_snapshot,
+        generate_kolmogorov,
+    )
+    from fourierflow_tpu.utils.equations import NavierStokes2D, crank_nicolson_rk4
+    from fourierflow_tpu.utils.forcings import kolmogorov_forcing_fn
+    from fourierflow_tpu.utils.grids import Grid
+
+    grid = Grid((32, 32), domain=((0, 2 * np.pi), (0, 2 * np.pi)))
+    eq = NavierStokes2D(viscosity=1e-3, grid=grid, drag=0.1, smooth=True,
+                        forcing_fn=kolmogorov_forcing_fn)
+    kwargs = dict(
+        sim_grid=grid,
+        out_sizes=[{"size": 32, "k": 1}, {"size": 16, "k": 1}],
+        method="pseudo_spectral",
+        step_fn=crank_nicolson_rk4(eq, 0.005),
+        downsample_fn=downsample_vorticity_snapshot,
+        inner_steps=2, outer_steps=3, warmup_steps=0,
+    )
+    keys = jax.random.split(jax.random.PRNGKey(5), 3)
+    seq = [generate_kolmogorov(seed=k, **kwargs)[0] for k in keys]
+    bat, _ = generate_kolmogorov(seed=keys, **kwargs)
+    for key in bat:
+        for name in bat[key]:
+            got = np.asarray(bat[key][name])
+            want = np.stack([np.asarray(s[key][name]) for s in seq])
+            # vmap reassociates reductions, so agreement is to fp tolerance
+            np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_batched_generation_cli(tmp_path):
+    """generation_batch in the data config drives the batched writer."""
+    import yaml as _yaml
+
+    from fourierflow_tpu.commands.generate import kolmogorov as gen
+
+    cfg = {
+        "domain": [[0, TWO_PI], [0, TWO_PI]],
+        "sim_grid": {"_target_": "fourierflow_tpu.utils.Grid",
+                     "shape": [32, 32], "domain": "${domain}"},
+        "time_step": 0.005, "method": "pseudo_spectral",
+        "step_fn": {"_target_": "jax_cfd.spectral.time_stepping.crank_nicolson_rk4",
+                    "equation": {"_target_": "fourierflow.utils.equations.NavierStokes2D",
+                                 "grid": "${sim_grid}", "viscosity": 1e-2,
+                                 "drag": 0.1, "smooth": True},
+                    "time_step": "${time_step}"},
+        "downsample_fn": "${get_method:fourierflow.builders.kolmogorov.downsample_vorticity}",
+        "n_trajectories": 3, "max_velocity": 7.0, "peak_wavenumber": 4.0,
+        "seed": 77, "inner_steps": 2, "outer_steps": 4, "warmup_steps": 0,
+        "out_sizes": [{"size": 32, "k": 1}, {"size": 16, "k": 2}],
+        "generation_batch": 2,
+    }
+    with open(tmp_path / "b.yaml", "w") as f:
+        _yaml.safe_dump(cfg, f)
+    gen(str(tmp_path / "b.yaml"))
+    with h5py.File(tmp_path / "b_32_1.h5") as f:
+        assert f["vorticity"].shape == (3, 4, 32, 32)
+        assert np.isfinite(f["vorticity"][...]).all()
+        assert (np.abs(f["vorticity"][...]).max(axis=(1, 2, 3)) > 0).all()
+    with h5py.File(tmp_path / "b_16_2.h5") as f:
+        assert f["vorticity"].shape == (3, 2, 16, 16)
+
+
 def test_sharded_generation_matches_unsharded():
     """Spatial-axis sharding of the pseudo-spectral solver: the same
     trajectory generated on an 8-device mesh (vorticity sharded along x)
