@@ -77,6 +77,9 @@ def _data_config(n_traj, seed, args, warmup_only=False):
             {"size": args.out_size, "k": 1},
             {"size": args.corr_size, "k": 1},
         ],
+        # vmap-batched generation: one dispatch per 8 trajectories
+        # (measured 5.4x over sequential at 128^2 on one v5e chip).
+        "generation_batch": 8,
     }
     return cfg
 
