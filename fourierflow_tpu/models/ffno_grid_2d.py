@@ -18,7 +18,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..layers import FeedForward, WNLinear, xavier_normal_init
-from ..ops.spectral import spectral_lowpass_axis, spectral_mix_axis, spectral_mix_dual
+from ..ops.spectral import spectral_lowpass_axis, spectral_mix_axis
 
 __all__ = ["SpectralConv2d", "FNOFactorized2DBlock"]
 
@@ -30,7 +30,13 @@ def fourier_mix_2d(x, wy, wx, mode="full", n_modes=None, impl="auto"):
         return spectral_lowpass_axis(x, n_modes, axis=2, impl=impl) + spectral_lowpass_axis(
             x, n_modes, axis=1, impl=impl
         )
-    return spectral_mix_dual(x, wy, wx, impl=impl)
+    # Two independent branch dispatches, NOT the stacked single-chain
+    # variant (ops.spectral.spectral_mix_dual): stacking [x, x^T] measured
+    # within noise on one chip (XLA already overlaps the branches) and its
+    # concat forces an involuntary resharding under a spatial-sharded mesh.
+    xy = spectral_mix_axis(x, wy, axis=2, impl=impl)
+    xx = spectral_mix_axis(x, wx, axis=1, impl=impl)
+    return xx + xy
 
 
 class SpectralConv2d(nn.Module):

@@ -213,16 +213,20 @@ def spectral_mix_dual(
     """Both separable F-FNO branches in one matmul chain (equals
     ``spectral_mix_axis(x, wy, 2) + spectral_mix_axis(x, wx, 1)``).
 
-    TPU fast path for square grids: the y-branch input (native layout) and
-    the x-branch input (spatial transpose) are stacked along the leading
-    batch dim, so the truncated-rDFT, per-mode mixing, and inverse-DFT
-    matmuls each dispatch once at double the rows — fewer, larger MXU
-    matmuls than two independent branch chains (the per-branch weights
-    ride the flattened (branch, mode) bmm batch, never a multi-batch-dim
-    einsum, which the axon compiler mishandles).
+    Square grids stack the y-branch input (native layout) and the x-branch
+    input (spatial transpose) along the leading batch dim, so the
+    truncated-rDFT, per-mode mixing, and inverse-DFT matmuls each dispatch
+    once at double the rows (the per-branch weights ride the flattened
+    (branch, mode) bmm batch, never a multi-batch-dim einsum, which the
+    axon compiler mishandles). Non-square grids and the 'fft' impl fall
+    back to the two-branch composition.
 
-    Requires ``x`` [B, N, N, C] (square); non-square grids and the 'fft'
-    impl fall back to the two-branch composition.
+    Measured trade-off (v5e, flagship shapes): ~1.06x on the isolated mix
+    but within noise end-to-end (XLA already overlaps the two branch
+    chains), and the [x, x^T] concat forces an involuntary resharding
+    under a spatial-sharded mesh — so the models use the two-branch
+    composition; this op is the single-chip alternative kept for
+    experimentation.
     """
     b, sx, sy, ci = x.shape
     if sx != sy or resolve_impl(impl, sx) != "dft":
