@@ -131,6 +131,13 @@ def main():
     p.add_argument("--lr", type=float, default=2.5e-3)
     p.add_argument("--warmup-steps", type=int, default=500)
     p.add_argument("--n-layers", type=int, default=24)
+    p.add_argument("--arch", default="ffno", choices=["ffno", "zongyi", "ffno_plus"],
+                   help="ffno = flagship factorized model; zongyi = original-FNO "
+                        "reproduction (torus_li/ablation/zongyi_markov); ffno_plus "
+                        "= non-factorized weights in the F-FNO block structure")
+    p.add_argument("--tag", default=None,
+                   help="subdirectory for checkpoints/logs (default: arch name; "
+                        "keeps ablations on one shared dataset apart)")
     args = p.parse_args()
 
     import jax
@@ -165,11 +172,24 @@ def main():
     print(f"[setup] {n_items} training pairs, {steps_per_epoch} steps/epoch, "
           f"{total_steps} total", flush=True)
 
-    model = FNOFactorized2DBlock(
-        modes=16, width=64, input_dim=5, n_layers=args.n_layers,
-        share_weight=True, factor=4, ff_weight_norm=True, gain=0.1,
-        dtype=jnp.bfloat16,
-    )
+    if args.arch == "ffno":
+        model = FNOFactorized2DBlock(
+            modes=16, width=64, input_dim=5, n_layers=args.n_layers,
+            share_weight=True, factor=4, ff_weight_norm=True, gain=0.1,
+            dtype=jnp.bfloat16,
+        )
+    elif args.arch == "zongyi":
+        from fourierflow_tpu.models import FNOZongyi2DBlock
+
+        model = FNOZongyi2DBlock(
+            modes1=16, modes2=16, width=64, input_dim=5,
+            n_layers=args.n_layers, dropout=0.0)
+    else:
+        from fourierflow_tpu.models import FNOPlus2DBlock
+
+        model = FNOPlus2DBlock(
+            modes=16, width=64, input_dim=5, n_layers=args.n_layers,
+            share_weight=True, factor=4, ff_weight_norm=True, gain=0.1)
     routine = Grid2DMarkovRoutine(
         model, n_steps=args.n_steps, use_velocity=True,
         max_accumulations=1000, noise_std=0.01,
@@ -183,8 +203,17 @@ def main():
     sample = train_ds.sample(np.arange(args.batch))
     state = routine.init(jax.random.PRNGKey(0), sample)
 
-    ckpt = os.path.join(d, "last.ckpt")
-    meta_path = os.path.join(d, "campaign_meta.json")
+    # Run artifacts live per-tag so several archs/ablations can share one
+    # dataset; a pre-existing top-level checkpoint (legacy layout) wins for
+    # the default run so old campaigns keep resuming.
+    tag = args.tag or args.arch
+    if tag == "ffno" and args.tag is None and os.path.exists(os.path.join(d, "last.ckpt")):
+        run_dir = d
+    else:
+        run_dir = os.path.join(d, "runs", tag)
+        os.makedirs(run_dir, exist_ok=True)
+    ckpt = os.path.join(run_dir, "last.ckpt")
+    meta_path = os.path.join(run_dir, "campaign_meta.json")
     start_epoch = 0
     if os.path.exists(ckpt) and os.path.exists(meta_path):
         with open(meta_path) as f:
@@ -204,7 +233,7 @@ def main():
                   if k in ("data", "corr_data")}
 
     key = jax.random.PRNGKey(7231)
-    log_path = os.path.join(d, "campaign_log.jsonl")
+    log_path = os.path.join(run_dir, "campaign_log.jsonl")
 
     if start_epoch == 0:
         t0 = time.time()
