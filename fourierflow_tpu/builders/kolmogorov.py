@@ -246,17 +246,25 @@ def generate_kolmogorov(
         )
     outer_step_fn = repeated(step_fn, inner_steps)
 
+    # Warmup evolves the state without recording; with outer_steps == 0 the
+    # run is warmup-only and returns the single warmed snapshot (the
+    # reference's initial_conditions configs). With outer_steps > 0 the
+    # recorded trajectory starts AFTER the warmup. (Historical footgun:
+    # warmup>0 used to early-return the snapshot even when a trajectory
+    # was requested, and the HDF5 writer silently broadcast it over the
+    # time axis — now warmup composes with trajectory recording, and the
+    # writer asserts the time dimension.)
+    start = time.time()
     if warmup_steps > 0:
         warm = jax.jit(vwrap(repeated(outer_step_fn, warmup_steps)))
-        start = time.time()
         state = warm(state)
+    if outer_steps == 0:
         outs = jax.jit(vwrap(downsample))(state)
         outs = jax.tree.map(np.asarray, outs)
         elapsed = np.float32(time.time() - start)
         return outs, elapsed
 
     traj_fn = jax.jit(vwrap(trajectory(outer_step_fn, outer_steps, downsample)))
-    start = time.time()
     _, trajs = traj_fn(state)
     trajs = jax.tree.map(np.asarray, trajs)
     elapsed = np.float32(time.time() - start)

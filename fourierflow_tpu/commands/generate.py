@@ -124,7 +124,15 @@ def kolmogorov(config_path: str, overrides=None):
                     if bsz == 1:
                         arr = arr[None]
                     # subsample snapshots by k (generate.py:155-166)
-                    f[name][idx] = arr[:, k - 1 :: k] if outer_steps > 0 else arr
+                    out = arr[:, k - 1 :: k] if outer_steps > 0 else arr
+                    # Exact-shape write: h5py would silently BROADCAST a
+                    # time-less snapshot across the time axis otherwise.
+                    want = f[name].shape[1:]
+                    if out.shape[1:] != want:
+                        raise ValueError(
+                            f"{name}: generated shape {out.shape[1:]} != "
+                            f"dataset shape {want}")
+                    f[name][idx] = out
                 f["elapsed"][idx] = elapsed / bsz
             logger.info(
                 "trajectories %d-%d/%d done in %.1fs",

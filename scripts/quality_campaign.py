@@ -131,6 +131,9 @@ def main():
     p.add_argument("--lr", type=float, default=2.5e-3)
     p.add_argument("--warmup-steps", type=int, default=500)
     p.add_argument("--n-layers", type=int, default=24)
+    p.add_argument("--subset", type=int, default=None,
+                   help="train on only the first N trajectories of the "
+                        "generated dataset (data-scaling ablations)")
     p.add_argument("--arch", default="ffno", choices=["ffno", "zongyi", "ffno_plus"],
                    help="ffno = flagship factorized model; zongyi = original-FNO "
                         "reproduction (torus_li/ablation/zongyi_markov); ffno_plus "
@@ -160,6 +163,11 @@ def main():
 
     train_ds = KolmogorovMarkovDataset(
         os.path.join(d, f"train_{args.out_size}_1.h5"), k=args.k)
+    if args.subset:
+        train_ds.w = train_ds.w[: args.subset]
+        train_ds.vx = train_ds.vx[: args.subset]
+        train_ds.vy = train_ds.vy[: args.subset]
+        train_ds.B = args.subset
     eval_ds = KolmogorovTrajectoryDataset(
         init_path=os.path.join(d, f"test_init_{args.out_size}.h5"),
         path=os.path.join(d, f"test_{args.out_size}_1.h5"),
@@ -206,7 +214,7 @@ def main():
     # Run artifacts live per-tag so several archs/ablations can share one
     # dataset; a pre-existing top-level checkpoint (legacy layout) wins for
     # the default run so old campaigns keep resuming.
-    tag = args.tag or args.arch
+    tag = args.tag or (args.arch + (f"_n{args.subset}" if args.subset else ""))
     if tag == "ffno" and args.tag is None and os.path.exists(os.path.join(d, "last.ckpt")):
         run_dir = d
     else:

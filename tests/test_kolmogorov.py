@@ -252,6 +252,49 @@ def test_kolmogorov_datasets_and_training(kolmogorov_files):
     assert "valid_time_until" in trainer.logs
 
 
+def test_warmup_then_trajectory_records_evolving_states():
+    """warmup_steps>0 with outer_steps>0 must warm the state and THEN
+    record a time-varying trajectory. Regression: this combination used to
+    early-return the single warmed snapshot, which the HDF5 writer then
+    silently broadcast across the whole time axis (constant 'trajectories'
+    — catastrophic for training)."""
+    import jax
+
+    from fourierflow_tpu.builders.kolmogorov import (
+        downsample_vorticity_snapshot,
+        generate_kolmogorov,
+    )
+    from fourierflow_tpu.utils.equations import NavierStokes2D, crank_nicolson_rk4
+    from fourierflow_tpu.utils.forcings import kolmogorov_forcing_fn
+    from fourierflow_tpu.utils.grids import Grid
+
+    grid = Grid((32, 32), domain=((0, 2 * np.pi), (0, 2 * np.pi)))
+    eq = NavierStokes2D(viscosity=1e-3, grid=grid, drag=0.1, smooth=True,
+                        forcing_fn=kolmogorov_forcing_fn)
+    kwargs = dict(
+        sim_grid=grid, out_sizes=[{"size": 32, "k": 1}],
+        method="pseudo_spectral", step_fn=crank_nicolson_rk4(eq, 0.005),
+        downsample_fn=downsample_vorticity_snapshot,
+        seed=jax.random.PRNGKey(9), inner_steps=2, outer_steps=4,
+    )
+    warm, _ = generate_kolmogorov(warmup_steps=3, **kwargs)
+    w = np.asarray(warm[(32, 1)]["vorticity"])
+    assert w.shape == (4, 32, 32)
+    assert np.abs(w[1] - w[0]).max() > 1e-3, "trajectory must evolve in time"
+
+    # The recorded trajectory starts after the warmup: its first snapshot
+    # equals the (warmup+1)-outer-step state of a cold run.
+    cold, _ = generate_kolmogorov(warmup_steps=0, **{**kwargs, "outer_steps": 7})
+    wc = np.asarray(cold[(32, 1)]["vorticity"])
+    np.testing.assert_allclose(w[0], wc[3], rtol=1e-4, atol=1e-4)
+
+    # warmup-only (outer_steps=0) still returns the single snapshot
+    ic, _ = generate_kolmogorov(warmup_steps=3, **{**kwargs, "outer_steps": 0})
+    assert np.asarray(ic[(32, 1)]["vorticity"]).shape == (32, 32)
+    np.testing.assert_allclose(
+        np.asarray(ic[(32, 1)]["vorticity"]), wc[2], rtol=1e-4, atol=1e-4)
+
+
 def test_batched_generation_matches_sequential():
     """vmap-batched trajectory generation (stacked seeds) must reproduce
     the per-trajectory results — one dispatch per batch instead of per
