@@ -77,9 +77,9 @@ def _data_config(n_traj, seed, args, warmup_only=False):
             {"size": args.out_size, "k": 1},
             {"size": args.corr_size, "k": 1},
         ],
-        # vmap-batched generation: one dispatch per 8 trajectories
+        # vmap-batched generation: one dispatch per gen_batch trajectories
         # (measured 5.4x over sequential at 128^2 on one v5e chip).
-        "generation_batch": 8,
+        "generation_batch": args.gen_batch,
     }
     return cfg
 
@@ -130,6 +130,13 @@ def main():
     p.add_argument("--n-steps", type=int, default=20, help="rollout horizon")
     p.add_argument("--lr", type=float, default=2.5e-3)
     p.add_argument("--warmup-steps", type=int, default=500)
+    p.add_argument("--max-acc", type=int, default=None,
+                   help="normalizer accumulation cap (default: one epoch of "
+                        "batches, the reference's setting)")
+    p.add_argument("--clip-val", type=float, default=None,
+                   help="gradient value clipping (reference clip_val)")
+    p.add_argument("--precision", default="bf16", choices=["bf16", "f32"])
+    p.add_argument("--gen-batch", type=int, default=8)
     p.add_argument("--n-layers", type=int, default=24)
     p.add_argument("--subset", type=int, default=None,
                    help="train on only the first N trajectories of the "
@@ -180,11 +187,12 @@ def main():
     print(f"[setup] {n_items} training pairs, {steps_per_epoch} steps/epoch, "
           f"{total_steps} total", flush=True)
 
+    dtype = jnp.bfloat16 if args.precision == "bf16" else None
     if args.arch == "ffno":
         model = FNOFactorized2DBlock(
             modes=16, width=64, input_dim=5, n_layers=args.n_layers,
             share_weight=True, factor=4, ff_weight_norm=True, gain=0.1,
-            dtype=jnp.bfloat16,
+            dtype=dtype,
         )
     elif args.arch == "zongyi":
         from fourierflow_tpu.models import FNOZongyi2DBlock
@@ -200,11 +208,15 @@ def main():
             share_weight=True, factor=4, ff_weight_norm=True, gain=0.1)
     routine = Grid2DMarkovRoutine(
         model, n_steps=args.n_steps, use_velocity=True,
-        max_accumulations=1000, noise_std=0.01,
+        # Reference: accumulate stats over exactly one epoch of batches
+        # (torus_kochkov config max_accumulations = batches/epoch).
+        max_accumulations=args.max_acc or steps_per_epoch,
+        noise_std=0.01,
         step_size=args.dt * args.inner * args.k,
         optimizer=make_optimizer(
             schedule=cosine_with_warmup(args.lr, args.warmup_steps, total_steps),
             weight_decay=1e-4,
+            clip_val=args.clip_val,
         ),
     )
 
