@@ -7,6 +7,7 @@ cleanly under jit.
 """
 
 import math
+import os
 from typing import Optional
 
 import flax.linen as nn
@@ -71,7 +72,11 @@ class WNLinear(nn.Module):
     dtype: Optional[jnp.dtype] = None  # compute dtype; params stay f32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_dense: bool = False):
+        """Apply the layer, or with ``return_dense`` declare the params and
+        return the effective ``(kernel, bias)`` (weight-norm already folded
+        in, compute dtype applied) — used by fused kernels that consume the
+        dense weights directly. ``x`` then only supplies the input width."""
         in_f = x.shape[-1]
         v = self.param("kernel", torch_linear_kernel_init, (in_f, self.features))
         if self.wnorm:
@@ -86,7 +91,7 @@ class WNLinear(nn.Module):
         if self.dtype is not None:
             x = x.astype(self.dtype)
             kernel = kernel.astype(self.dtype)
-        y = x @ kernel
+        b = None
         if self.use_bias:
             b = self.param(
                 "bias",
@@ -97,6 +102,10 @@ class WNLinear(nn.Module):
             )
             if self.dtype is not None:
                 b = b.astype(self.dtype)
+        if return_dense:
+            return kernel, b
+        y = x @ kernel
+        if b is not None:
             y = y + b
         return y
 
@@ -150,9 +159,42 @@ class FeedForward(nn.Module):
     layer_norm: bool = False
     dropout: float = 0.0
     dtype: Optional[jnp.dtype] = None
+    # 'auto': fused Pallas matmul-relu-matmul kernel (ops/pallas_ff.py) on
+    # TPU for the plain 2-layer shape — the hidden [rows, dim*factor]
+    # activations stay in VMEM in forward AND backward instead of making
+    # ~7 HBM round trips per layer. 'fwd': fused forward, XLA-dots
+    # backward. 'never'/'always' force the choice ('always' runs
+    # interpreted off-TPU, for tests). The default can be overridden
+    # process-wide with FOURIERFLOW_FF_FUSE (benchmark A/Bs).
+    fuse: str = os.environ.get("FOURIERFLOW_FF_FUSE", "auto")
+
+    def _fusable(self) -> bool:
+        return (
+            self.n_layers == 2
+            and self.dropout == 0.0
+            and not self.layer_norm
+            and self.fuse != "never"
+        )
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        backend = jax.default_backend()
+        if self._fusable() and (self.fuse == "always" or backend == "tpu"):
+            from .ops.pallas_ff import fused_ff
+
+            lin0 = WNLinear(self.dim * self.factor, wnorm=self.ff_weight_norm,
+                            dtype=self.dtype)
+            lin1 = WNLinear(self.dim, wnorm=self.ff_weight_norm,
+                            dtype=self.dtype)
+            k1, b1 = lin0(x, return_dense=True)
+            k2, b2 = lin1(
+                jnp.zeros((1, self.dim * self.factor), x.dtype),
+                return_dense=True,
+            )
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
+            return fused_ff(x, k1, b1, k2, b2, backend != "tpu",
+                            self.fuse != "fwd")
         for i in range(self.n_layers):
             out_dim = self.dim if i == self.n_layers - 1 else self.dim * self.factor
             x = WNLinear(out_dim, wnorm=self.ff_weight_norm, dtype=self.dtype)(x)

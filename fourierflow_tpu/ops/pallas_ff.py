@@ -12,18 +12,28 @@ All in-kernel ops are 2D matmuls + elementwise — no reshapes across the
 lane dim, so this compiles with today's Mosaic (unlike the spectral-mix
 fusion; see pallas_spectral.py).
 
-Custom VJP: residuals are just (x, w1, b1, w2); the backward pass
-recomputes the (cheap) first matmul and runs standard MLP gradients as
-XLA dots — the fusion win is forward-only by design, which also keeps the
-backward numerically identical to autodiff.
+Custom VJP: residuals are just (x, w1, b1, w2). The backward pass is a
+second fused kernel gridded over row blocks: it recomputes the hidden
+activations from x in VMEM, computes dh = (g @ w2^T) * relu'(pre) without
+ever materializing pre/h/dh in HBM, writes dx per block, and accumulates
+the weight/bias gradients in f32 VMEM buffers across the (sequential) TPU
+grid. Unfused, the [rows, 4C] intermediates cost ~5 HBM round trips in
+backward — the dominant memory traffic of the flagship train step.
+``fused_ff(..., fuse_bwd=False)`` keeps the XLA-dots backward instead.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 
 __all__ = ["fused_ff"]
+
+# Row-block sizes (tunable for benchmarking; defaults are the best
+# measured on v5e at flagship shapes).
+_FWD_BLOCK = int(os.environ.get("FOURIERFLOW_FF_FWD_BLOCK", "1024"))
+_BWD_BLOCK = int(os.environ.get("FOURIERFLOW_FF_BWD_BLOCK", "2048"))
 
 
 def _ff_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, out_ref):
@@ -63,20 +73,106 @@ def _ff_pallas(x2d, w1, b1, w2, b2, *, block_rows=512, interpret=False):
     )(x2d, w1, b1, w2, b2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def fused_ff(x, w1, b1, w2, b2, interpret=False):
+def _make_bwd_kernel():
+    from jax.experimental import pallas as pl
+
+    def kernel(x_ref, g_ref, w1_ref, b1_ref, w2t_ref, w1t_ref,
+               dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            dw1_ref[...] = jnp.zeros_like(dw1_ref)
+            db1_ref[...] = jnp.zeros_like(db1_ref)
+            dw2_ref[...] = jnp.zeros_like(dw2_ref)
+            db2_ref[...] = jnp.zeros_like(db2_ref)
+
+        x = x_ref[...]           # [R, Cin]
+        gg = g_ref[...]          # [R, Cout]
+
+        def dot(a, b):
+            return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+        def dot_t(a, b):  # contract over rows: [R, M] x [R, N] -> [M, N]
+            return jax.lax.dot_general(
+                a, b, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        pre = dot(x, w1_ref[...]) + b1_ref[...].astype(jnp.float32)
+        h = jnp.maximum(pre, 0.0).astype(x.dtype)          # [R, H]
+        dh = dot(gg, w2t_ref[...]) * (pre > 0)             # [R, H] f32
+        dh = dh.astype(x.dtype)
+        dx_ref[...] = dot(dh, w1t_ref[...]).astype(dx_ref.dtype)
+        dw1_ref[...] += dot_t(x, dh)
+        db1_ref[...] += jnp.sum(dh, axis=0, keepdims=True,
+                                dtype=jnp.float32)
+        dw2_ref[...] += dot_t(h, gg)
+        db2_ref[...] += jnp.sum(gg, axis=0, keepdims=True,
+                                dtype=jnp.float32)
+
+    return kernel
+
+
+def _ff_bwd_pallas(x2d, g2d, w1, b1, w2, *, block_rows, interpret=False):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows, cin = x2d.shape
+    hidden, cout = w1.shape[1], w2.shape[1]
+    grid = (pl.cdiv(rows, block_rows),)
+    full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                  memory_space=pltpu.VMEM)
+    acc = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                     memory_space=pltpu.VMEM)
+    w2t = w2.T
+    w1t = w1.T
+    return pl.pallas_call(
+        _make_bwd_kernel(),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, cin), x2d.dtype),      # dx
+            jax.ShapeDtypeStruct((cin, hidden), jnp.float32),  # dw1
+            jax.ShapeDtypeStruct((1, hidden), jnp.float32),    # db1
+            jax.ShapeDtypeStruct((hidden, cout), jnp.float32),  # dw2
+            jax.ShapeDtypeStruct((1, cout), jnp.float32),      # db2
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_rows, cin), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, cout), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            full(w1), full(b1), full(w2t), full(w1t),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_rows, cin), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            acc((cin, hidden)), acc((1, hidden)),
+            acc((hidden, cout)), acc((1, cout)),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * rows * cin * hidden + 4 * rows * hidden * cout,
+            bytes_accessed=(2 * rows * (cin + cout)) * x2d.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x2d, g2d, w1, b1, w2t, w1t)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_ff(x, w1, b1, w2, b2, interpret=False, fuse_bwd=True):
     """``relu(x @ w1 + b1) @ w2 + b2`` with the hidden activations kept in
     VMEM. ``x``: [..., C_in]; weights are plain dense (apply weight-norm
     reparameterization before calling)."""
-    out, _ = _ff_fwd(x, w1, b1, w2, b2, interpret)
+    out, _ = _ff_fwd(x, w1, b1, w2, b2, interpret, fuse_bwd)
     return out
 
 
-def _ff_fwd(x, w1, b1, w2, b2, interpret):
+def _ff_fwd(x, w1, b1, w2, b2, interpret, fuse_bwd):
     shape = x.shape
     x2d = x.reshape(-1, shape[-1])
     rows = x2d.shape[0]
-    block = min(512, rows)
+    block = min(_FWD_BLOCK, rows)
     pad = (-rows) % block
     if pad:
         x2d = jnp.pad(x2d, ((0, pad), (0, 0)))
@@ -87,13 +183,29 @@ def _ff_fwd(x, w1, b1, w2, b2, interpret):
     return out, (x, w1, b1, w2)
 
 
-def _ff_bwd(interpret, res, g):
+def _ff_bwd(interpret, fuse_bwd, res, g):
     x, w1, b1, w2 = res
     shape = x.shape
     x2d = x.reshape(-1, shape[-1])
     g2d = g.reshape(-1, g.shape[-1])
-    # Recompute the (cheap) pre-activation; standard MLP backward as XLA
-    # dots — these are large well-shaped matmuls XLA runs at peak.
+    if fuse_bwd:
+        rows = x2d.shape[0]
+        block = min(_BWD_BLOCK, rows)
+        pad = (-rows) % block
+        if pad:
+            # Zero-padded rows are exact no-ops: g=0 kills dh and every
+            # gradient contribution; the padded dx rows are sliced off.
+            x2d = jnp.pad(x2d, ((0, pad), (0, 0)))
+            g2d = jnp.pad(g2d, ((0, pad), (0, 0)))
+        dx2, dw1, db1, dw2, db2 = _ff_bwd_pallas(
+            x2d, g2d, w1, b1, w2, block_rows=block, interpret=interpret)
+        if pad:
+            dx2 = dx2[:rows]
+        dx = dx2.reshape(shape)
+        return (dx, dw1.astype(w1.dtype), db1[0].astype(b1.dtype),
+                dw2.astype(w2.dtype), db2[0].astype(w2.dtype))
+    # Unfused fallback: recompute the (cheap) pre-activation; standard MLP
+    # backward as XLA dots.
     pre = x2d @ w1 + b1
     h = jnp.maximum(pre, 0.0)
     dh = (g2d @ w2.T) * (pre > 0).astype(g2d.dtype)

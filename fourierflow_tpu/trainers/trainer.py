@@ -24,7 +24,12 @@ logger = logging.getLogger(__name__)
 __all__ = ["Trainer", "make_scan_epoch", "make_scan_epoch_indexed"]
 
 
-def make_scan_epoch(routine: Routine, batch_size: int, accumulate: bool = False):
+def make_scan_epoch(
+    routine: Routine,
+    batch_size: int,
+    accumulate: bool = False,
+    chunk_steps: Optional[int] = None,
+):
     """Build a jitted whole-epoch function: ``lax.scan`` over on-device
     shuffled batches of a device-resident dataset.
 
@@ -41,6 +46,7 @@ def make_scan_epoch(routine: Routine, batch_size: int, accumulate: bool = False)
         n_items=None,
         sample_fn=lambda data, idx: {k: v[idx] for k, v in data.items()},
         accumulate=accumulate,
+        chunk_steps=chunk_steps,
     )
 
 
@@ -50,18 +56,41 @@ def make_scan_epoch_indexed(
     n_items: Optional[int],
     sample_fn,
     accumulate: bool = False,
+    chunk_steps: Optional[int] = None,
 ):
     """Generalized device-resident epoch: batches are produced by
     ``sample_fn(data, idx)`` on device from an arbitrary container (e.g.
     the Kolmogorov datasets index (trajectory, time) pairs virtually —
-    a dict of flat aligned arrays is just the identity-gather case)."""
+    a dict of flat aligned arrays is just the identity-gather case).
 
-    def epoch_fn(state, data, key):
+    ``chunk_steps`` bounds the number of train steps in a single XLA
+    dispatch. The axon relay kills the TPU worker when one dispatch runs
+    longer than ~1 minute (measured: a 2128-step/43 s epoch survives, an
+    83 s one reproducibly dies with "TPU worker process crashed", and a
+    faulted worker stays wedged for many minutes), so long epochs must be
+    split. Chunks re-derive the SAME epoch permutation from the epoch key
+    on device and slice out their range — no eager host work (eager
+    dispatches are pathologically slow on the relay), a handful of
+    compiled chunk lengths total, and per-step RNG/noise keys stay keyed
+    to the global step exactly as in the single-dispatch path.
+
+    ``chunk_steps='auto'`` self-calibrates: the first epoch starts with a
+    small chunk (compile + run, untimed), times the second dispatch of
+    the same size, and sizes subsequent chunks to target ~30 s per
+    dispatch. That costs at most ~4 distinct compiled lengths per run and
+    removes the need to know the model's step time up front.
+    """
+
+    AUTO_PROBE = 256  # steps in the calibration chunks
+    AUTO_TARGET_S = 30.0
+
+    def chunk_fn(state, data, kperm, kstep, start, size):
+        # size is static (two distinct values per epoch at most).
         n = n_items if n_items is not None else len(next(iter(data.values())))
         n_batches = n // batch_size
-        kperm, kstep = jax.random.split(key)
         perm = jax.random.permutation(kperm, n)[: n_batches * batch_size]
         perm = perm.reshape(n_batches, batch_size)
+        perm = jax.lax.dynamic_slice_in_dim(perm, start, size, axis=0)
 
         def body(state, idx):
             batch = sample_fn(data, idx)
@@ -74,7 +103,77 @@ def make_scan_epoch_indexed(
         mean_metrics = {k: jnp.mean(v) for k, v in metrics.items()}
         return state, mean_metrics
 
-    return jax.jit(epoch_fn, donate_argnums=(0,))
+    chunk_jit = jax.jit(chunk_fn, donate_argnums=(0,), static_argnums=(5,))
+    auto = chunk_steps == "auto"
+    state_box = {"rate": None}  # measured train steps/s (auto mode)
+
+    def _sync(state, metrics):
+        """Force completion of the last dispatch (block_until_ready lies on
+        the relay; only a value fetch guarantees the compute finished)."""
+        if metrics:
+            float(next(iter(metrics.values())))
+        else:
+            float(jnp.asarray(state.step).astype(jnp.float32))
+
+    def _schedule(n_batches):
+        """Chunk sizes covering n_batches with few distinct values."""
+        if auto:
+            target = max(16, int(AUTO_TARGET_S * state_box["rate"]))
+        else:
+            target = chunk_steps
+        n_chunks = -(-n_batches // target)
+        base = n_batches // n_chunks
+        extra = n_batches - base * n_chunks
+        return [base + 1] * extra + [base] * (n_chunks - extra)
+
+    def epoch_fn(state, data, key):
+        n = n_items if n_items is not None else len(next(iter(data.values())))
+        n_batches = n // batch_size
+        kperm, kstep = jax.random.split(key)
+        if not chunk_steps or (not auto and n_batches <= chunk_steps):
+            return chunk_jit(state, data, kperm, kstep, 0, n_batches)
+
+        pos = 0
+        parts = []
+
+        def run(state, size):
+            nonlocal pos
+            state, m = chunk_jit(state, data, kperm, kstep, pos, size)
+            parts.append((m, size))
+            pos += size
+            return state, m
+
+        if auto and state_box["rate"] is None:
+            probe = min(AUTO_PROBE, n_batches)
+            state, m = run(state, probe)  # compile + run, untimed
+            _sync(state, m)
+            if pos < n_batches:
+                size = min(probe, n_batches - pos)
+                t0 = time.time()
+                state, m = run(state, size)
+                _sync(state, m)
+                state_box["rate"] = size / max(time.time() - t0, 1e-3)
+        if pos < n_batches:
+            if auto and state_box["rate"] is None:
+                sizes = [n_batches - pos]  # tiny epoch: finish directly
+            else:
+                sizes = _schedule(n_batches - pos)
+            for size in sizes:
+                state, _ = run(state, size)
+
+        if not parts or not parts[0][0]:
+            return state, {}
+        # Weighted host-side merge; fetches happen only here, after every
+        # chunk has been dispatched.
+        merged = {
+            k: np.average(
+                [float(m[k]) for m, _ in parts], weights=[w for _, w in parts]
+            )
+            for k in parts[0][0]
+        }
+        return state, merged
+
+    return epoch_fn
 
 
 def _weighted_merge(metric_list):
@@ -102,7 +201,9 @@ class Trainer:
         check_val_every_n_epoch: int = 1,
         mesh=None,
         fast_loop: bool = True,
+        chunk_steps="auto",
     ):
+        self.chunk_steps = chunk_steps
         self.max_epochs = max_epochs
         self.limit_train_batches = limit_train_batches
         self.limit_val_batches = limit_val_batches
@@ -179,15 +280,19 @@ class Trainer:
             device_data, sample_fn, n_items = device_proto
             device_data = jax.tree.map(jnp.asarray, device_data)
             train_epoch = make_scan_epoch_indexed(
-                routine, builder.batch_size, n_items, sample_fn, accumulate=False)
+                routine, builder.batch_size, n_items, sample_fn,
+                accumulate=False, chunk_steps=self.chunk_steps)
             acc_epoch = make_scan_epoch_indexed(
-                routine, builder.batch_size, n_items, sample_fn, accumulate=True)
+                routine, builder.batch_size, n_items, sample_fn,
+                accumulate=True, chunk_steps=self.chunk_steps)
             fast_n_items = n_items
         elif use_fast:
             # Device-resident dataset + one jitted scan per epoch.
             device_data = {k: jnp.asarray(v) for k, v in builder.train_data.items()}
-            train_epoch = make_scan_epoch(routine, builder.batch_size, accumulate=False)
-            acc_epoch = make_scan_epoch(routine, builder.batch_size, accumulate=True)
+            train_epoch = make_scan_epoch(routine, builder.batch_size,
+                                          accumulate=False, chunk_steps=self.chunk_steps)
+            acc_epoch = make_scan_epoch(routine, builder.batch_size,
+                                        accumulate=True, chunk_steps=self.chunk_steps)
             fast_n_items = len(next(iter(builder.train_data.values())))
         else:
             train_step = jax.jit(routine.train_step, donate_argnums=(0,))

@@ -148,6 +148,10 @@ def main():
     p.add_argument("--tag", default=None,
                    help="subdirectory for checkpoints/logs (default: arch name; "
                         "keeps ablations on one shared dataset apart)")
+    p.add_argument("--chunk-steps", default="auto",
+                   help="max train steps per XLA dispatch ('auto' calibrates "
+                        "to ~30s dispatches; the relay kills dispatches "
+                        "over ~1 min). An int pins the size; 0 disables.")
     args = p.parse_args()
 
     import jax
@@ -243,10 +247,15 @@ def main():
 
     data, sample_fn, _ = train_ds.device_train_data(fields=("w",))
     data = jax.tree.map(jnp.asarray, data)
+    chunk = args.chunk_steps
+    if chunk != "auto":
+        chunk = int(chunk) or None
     train_epoch = make_scan_epoch_indexed(
-        routine, args.batch, n_items, sample_fn, accumulate=False)
+        routine, args.batch, n_items, sample_fn, accumulate=False,
+        chunk_steps=chunk)
     acc_epoch = make_scan_epoch_indexed(
-        routine, args.batch, n_items, sample_fn, accumulate=True)
+        routine, args.batch, n_items, sample_fn, accumulate=True,
+        chunk_steps=chunk)
     valid_step = jax.jit(routine.valid_step)
     eval_batch = eval_ds.sample(np.arange(args.n_test))
     eval_batch = {k: jnp.asarray(v) for k, v in eval_batch.items()

@@ -53,3 +53,64 @@ def test_fused_ff_vjp_matches_autodiff():
     gx = jax.grad(loss_x, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
     for a, b in zip(gk, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_ff_vjp_unfused_bwd_matches():
+    """fuse_bwd=False falls back to the XLA-dots backward."""
+    x, w1, b1, w2, b2 = _inputs(seed=4)
+
+    def loss_k(x, w1, b1, w2, b2):
+        return jnp.sum(fused_ff(x, w1, b1, w2, b2, True, False) ** 2)
+
+    def loss_x(x, w1, b1, w2, b2):
+        return jnp.sum(_xla(x, w1, b1, w2, b2) ** 2)
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    for a, b in zip(gk, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_ff_bwd_multiblock_accumulation():
+    """Weight grads accumulate across row blocks (rows > bwd block size),
+    including the zero-padded remainder block."""
+    x, w1, b1, w2, b2 = _inputs(rows=5000, seed=2)
+
+    def loss_k(x, w1, b1, w2, b2):
+        return jnp.sum(jnp.cos(fused_ff(x, w1, b1, w2, b2, True)))
+
+    def loss_x(x, w1, b1, w2, b2):
+        return jnp.sum(jnp.cos(_xla(x, w1, b1, w2, b2)))
+
+    gk = jax.grad(loss_k, argnums=(1, 2, 3, 4))(x, w1, b1, w2, b2)
+    gx = jax.grad(loss_x, argnums=(1, 2, 3, 4))(x, w1, b1, w2, b2)
+    for a, b in zip(gk, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_feedforward_fused_path_matches_plain():
+    """FeedForward(fuse='always') (interpreted off-TPU) matches the plain
+    WNLinear composition for values and grads, on the SAME param tree."""
+    from fourierflow_tpu.layers import FeedForward
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(4, 9, 16).astype(np.float32))
+    plain = FeedForward(16, 4, ff_weight_norm=True, fuse="never")
+    fused = FeedForward(16, 4, ff_weight_norm=True, fuse="always")
+    params = plain.init(jax.random.PRNGKey(0), x)
+    jax.tree.map(  # identical param trees: fused declares the same leaves
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params, fused.init(jax.random.PRNGKey(0), x),
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused.apply(params, x)),
+        np.asarray(plain.apply(params, x)),
+        rtol=1e-5, atol=1e-5,
+    )
+    gp = jax.grad(lambda p: jnp.sum(plain.apply(p, x) ** 2))(params)
+    gf = jax.grad(lambda p: jnp.sum(fused.apply(p, x) ** 2))(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+        gp, gf,
+    )
