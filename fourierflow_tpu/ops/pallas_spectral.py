@@ -6,109 +6,117 @@ reference:fourierflow/modules/factorized_fno/grid_2d.py:51-99) is
     out = irdft_x(W_x . rdft_x(x)) + irdft_y(W_y . rdft_y(x))
 
 As a chain of XLA einsums this makes ~8 HBM round trips per branch
-(truncated-DFT matmul, 4 mixing matmuls, inverse-DFT matmul, plus layout
-transposes) and runs at ~12 TFLOP/s on v5e. This kernel keeps one batch
-element's [X, Y, C] block (1 MB at 64^3 f32) resident in VMEM across both
-branches: per grid step it reads x once, writes out once, and runs all
-matmuls back-to-back on the MXU.
+(truncated-DFT matmul, mixing matmuls, inverse-DFT matmul, plus layout
+transposes); measured on v5e it is ~64% of the flagship train step. This
+kernel keeps one batch element's [X, Y, C] block (512 KB bf16 at 64^2x64)
+resident in VMEM across both branches: per grid step it reads x once,
+writes out once, and runs all matmuls back-to-back on the MXU.
 
-STATUS: numerically verified (interpret mode; tests/test_pallas_spectral
-.py) but the current Mosaic compiler rejects the in-kernel lane-dimension
-reshape ``[X, Y, C] -> [X, Y*C]`` ("infer-vector-layout: unsupported shape
-cast", jaxlib 0.9 on v5e), and every reformulation that satisfies Mosaic's
-layout rules decomposes into per-mode matmuls too small to feed the MXU
-(modes=16, C=64). Measured on v5e, the XLA einsum path runs the dual
-branch at ~0.35 ms (bf16, batch 19 @ 64^2x64) against a ~0.15 ms roofline,
-so the ceiling on this fusion is ~2x on ~40% of the layer; revisit when
-Mosaic gains relayout casts. ``make_ffno_mix('auto')`` therefore returns
-the XLA path everywhere for now.
+Mosaic (axon v5e, jaxlib 0.9) rejects lane-merging reshapes
+([X, Y, C] -> [X, Y*C]), dot_generals with 3D non-batch operands, and
+concats of lane-sliced (offset) operands, so the kernel uses only
+on-chip-probed forms: leading-batch bmms, (1,0,2) transposes,
+leading-dim slices/concats, and broadcast_to feeding a bmm. Per branch:
 
-Shapes (all static):
-  x: [B, X, Y, C]; bases er/ei [N, M] (forward truncated rDFT, ortho),
-  cr/ci [M, N] (inverse); weights w{y,x}{r,i}: [M, C, C] (mode-major — the
-  model's [C, C, M, 2] layout transposed once outside the kernel).
+  1. s      = bmm(E[2M,n] broadcast over rows, x[X, Y, C]) -> [X, 2M, C]
+  2. sr, si = leading-dim split of s^T(1,0,2)              -> [M, X, C] x2
+  3. yr, yi = 4 bmms against Wr/Wi [M, C, C]               -> [M, X, C] x2
+  4. ys     = leading-dim concat, ^T(1,0,2)                -> [X, 2M, C]
+  5. o      = bmm(CI[n,2M] broadcast over rows, ys)        -> [X, Y, C]
+
+The x-branch runs the same pipeline on x^T(1,0,2) and transposes back.
+
+STATUS: compiles and matches on the real chip (values and custom VJP at
+bf16 tolerance) — the historical Mosaic blocker is solved — but measured
+SLOWER than the XLA einsum chain at flagship shapes (fwd 0.63 vs 0.49 ms,
+fwd+bwd 0.99 vs 0.82 ms, bf16 batch 19 @ 64^2x64): every matmul the
+layout rules allow is at most [64, 64] x [64, 64], filling a quarter of
+the 128x128 MXU, while XLA reshapes freely in HBM and runs larger fused
+matmuls. The factorized mix is latency-bound at these shapes, not
+bandwidth-bound, so VMEM residency does not pay. `make_ffno_mix('auto')`
+therefore returns the XLA path; the kernel is kept compiling + tested as
+the starting point for when Mosaic gains lane-merging relayouts (which
+would re-enable the [rows, 2C]-packed big-matmul form).
 
 The op is linear in x, so the custom VJP reuses the same kernel with the
 transposed operator (bases swapped+transposed, weights (i,o)-transposed
 with the imaginary sign flipped); weight gradients are two einsums over
 recomputed spectra (cheap: M=16 rows).
-
-The mixing is per-mode: Y[m] = S[m] @ W[m] over modes m — expressed as a
-mode-batched dot_general so every matmul has [X*? , C] x [C, C] MXU shape.
 """
 
 import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .dft import irdft_basis, rdft_basis
 
 __all__ = ["fused_mix_2d", "make_ffno_mix"]
 
 
-def _mode_mix(sr, si, wr, wi):
-    """Per-mode complex channel mixing: s [M, R, C], w [M, C, C]."""
+def _branch(x, eb, cb, wr, wi, modes):
+    """One separable branch on [R, n, C] with batched-bmm DFTs.
+
+    x: [R, n, C]; eb: [R, 2M, n]; cb: [R, n, 2M]; wr/wi: [M, C, C].
+    All slices/concats act on the LEADING dim of rank-3 operands — layouts
+    tile the trailing (sublane, lane) dims, so leading-dim ops carry no
+    offset and sidestep Mosaic's "offset mismatch on non-concat dimension"
+    limitation (lane-sliced operands cannot be concatenated).
+    """
+
     def bmm(a, b):
         return jax.lax.dot_general(
             a, b, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
 
-    yr = bmm(sr, wr) - bmm(si, wi)
+    s = bmm(eb, x).astype(x.dtype)                      # [R, 2M, C]
+    st = s.transpose(1, 0, 2)                           # [2M, R, C]
+    sr, si = st[:modes], st[modes:]                     # leading-dim slices
+    yr = bmm(sr, wr) - bmm(si, wi)                      # [M, R, C] f32
     yi = bmm(sr, wi) + bmm(si, wr)
-    return yr, yi
+    ys = jnp.concatenate([yr, yi], axis=0).astype(x.dtype)  # [2M, R, C]
+    return bmm(cb, ys.transpose(1, 0, 2))               # [R, n, C] f32
 
 
-def _mix_kernel(x_ref, er_ref, ei_ref, cr_ref, ci_ref,
-                wyr_ref, wyi_ref, wxr_ref, wxi_ref, out_ref):
-    x = x_ref[0]  # [X, Y, C]
-    X, Y, C = x.shape
-    M = er_ref.shape[1]
-    er, ei = er_ref[...], ei_ref[...]
-    cr, ci = cr_ref[...], ci_ref[...]
+def _make_mix_kernel(modes):
+    def kernel(x_ref, e_ref, ci_ref, wyr_ref, wyi_ref, wxr_ref, wxi_ref,
+               out_ref):
+        x = x_ref[0]              # [X, Y, C] (one batch element per step)
+        n = x.shape[0]
+        e = e_ref[...]            # [2M, n]
+        ci = ci_ref[...]          # [n, 2M]
+        eb = jnp.broadcast_to(e[None], (n, e.shape[0], e.shape[1]))
+        cb = jnp.broadcast_to(ci[None], (n, ci.shape[0], ci.shape[1]))
 
-    def dotp(a, b):
-        return jnp.dot(a, b, preferred_element_type=jnp.float32)
+        oy = _branch(x, eb, cb, wyr_ref[...], wyi_ref[...], modes)
+        xt = x.transpose(1, 0, 2)
+        ox = _branch(xt, eb, cb, wxr_ref[...], wxi_ref[...], modes)
+        out = oy + ox.transpose(1, 0, 2)
+        out_ref[0] = out.astype(out_ref.dtype)
 
-    # ---- X branch: contract the leading axis — a pure reshape, no
-    # transpose needed: x2 [X, Y*C].
-    x2 = x.reshape(X, Y * C)
-    sr = dotp(er.T, x2).reshape(M, Y, C)   # [M, Y*C] -> [M, Y, C]
-    si = dotp(ei.T, x2).reshape(M, Y, C)
-    yr, yi = _mode_mix(sr, si, wxr_ref[...], wxi_ref[...])
-    ox = dotp(cr.T, yr.reshape(M, Y * C)) + dotp(ci.T, yi.reshape(M, Y * C))
-    ox = ox.reshape(X, Y, C)
-
-    # ---- Y branch: bring Y to the front once, transform, bring back.
-    t = x.transpose(1, 0, 2).reshape(Y, X * C)
-    sr = dotp(er.T, t).reshape(M, X, C)
-    si = dotp(ei.T, t).reshape(M, X, C)
-    yr, yi = _mode_mix(sr, si, wyr_ref[...], wyi_ref[...])
-    oy = dotp(cr.T, yr.reshape(M, X * C)) + dotp(ci.T, yi.reshape(M, X * C))
-    oy = oy.reshape(Y, X, C).transpose(1, 0, 2)
-
-    out_ref[0] = (ox + oy).astype(out_ref.dtype)
+    return kernel
 
 
-def _mix_pallas(x, er, ei, cr, ci, wyr, wyi, wxr, wxi, *, interpret=False):
+def _mix_pallas(x, e, ci, wy4, wx4, *, interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     B, X, Y, C = x.shape
-    M = er.shape[1]
+    M = wy4[0].shape[0]
     full = lambda a: pl.BlockSpec(a.shape, lambda b: (0,) * a.ndim,
                                   memory_space=pltpu.VMEM)
-    flops_branch = 2 * M * C * (X * Y) * 2 * 2 + 4 * M * X * C * C * 2
+    flops_branch = (X * 2 * M * Y * C + 4 * M * X * C * C + X * Y * 2 * M * C) * 2
     return pl.pallas_call(
-        _mix_kernel,
+        _make_mix_kernel(M),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, X, Y, C), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            full(er), full(ei), full(cr), full(ci),
-            full(wyr), full(wyi), full(wxr), full(wxi),
+            full(e), full(ci),
+            full(wy4[0]), full(wy4[1]), full(wx4[0]), full(wx4[1]),
         ],
         out_specs=pl.BlockSpec((1, X, Y, C), lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -118,7 +126,13 @@ def _mix_pallas(x, er, ei, cr, ci, wyr, wyi, wxr, wxi, *, interpret=False):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, er, ei, cr, ci, wyr, wyi, wxr, wxi)
+    )(x, e, ci, wy4[0], wy4[1], wx4[0], wx4[1])
+
+
+def _mode_major(w, dtype):
+    """[Ci, Co, M, 2] complex pairs -> ([M, Ci, Co] real, [M, Ci, Co] imag)."""
+    w = w.astype(dtype)
+    return jnp.moveaxis(w[..., 0], 2, 0), jnp.moveaxis(w[..., 1], 2, 0)
 
 
 def _spectra(x, er, ei, axis):
@@ -127,6 +141,14 @@ def _spectra(x, er, ei, axis):
     sr = jnp.einsum("...nc,nm->...mc", xm, er)
     si = jnp.einsum("...nc,nm->...mc", xm, ei)
     return sr, si
+
+
+def _bases(n, m, dtype):
+    er, ei = rdft_basis(n, m)    # numpy [n, M] each
+    cr, ci = irdft_basis(n, m)   # numpy [M, n] each
+    e = np.concatenate([er.T, ei.T], axis=0)   # [2M, n]
+    c = np.concatenate([cr, ci], axis=0).T     # [n, 2M]
+    return jnp.asarray(e.astype(dtype)), jnp.asarray(c.astype(dtype))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -147,56 +169,59 @@ def _prep(x, wy, wx):
     if x.shape[2] != n:
         raise ValueError("fused_mix_2d requires square grids")
     m = wy.shape[2]
-    dt = str(x.dtype)
-    er, ei = (jnp.asarray(a) for a in rdft_basis(n, m, dtype=dt))
-    cr, ci = (jnp.asarray(a) for a in irdft_basis(n, m, dtype=dt))
-    # [C, C, M, 2] -> mode-major [M, C, C] per part.
-    wyr, wyi = jnp.moveaxis(wy[..., 0], 2, 0), jnp.moveaxis(wy[..., 1], 2, 0)
-    wxr, wxi = jnp.moveaxis(wx[..., 0], 2, 0), jnp.moveaxis(wx[..., 1], 2, 0)
-    return er, ei, cr, ci, wyr, wyi, wxr, wxi
+    dt = np.dtype(str(x.dtype))
+    e, ci = _bases(n, m, dt)
+    return e, ci, _mode_major(wy, x.dtype), _mode_major(wx, x.dtype)
 
 
 def _fused_mix_fwd(x, wy, wx, interpret):
-    er, ei, cr, ci, wyr, wyi, wxr, wxi = _prep(x, wy, wx)
-    out = _mix_pallas(x, er, ei, cr, ci, wyr, wyi, wxr, wxi,
-                      interpret=interpret)
+    e, ci, wy4, wx4 = _prep(x, wy, wx)
+    out = _mix_pallas(x, e, ci, wy4, wx4, interpret=interpret)
     return out, (x, wy, wx)
 
 
 def _fused_mix_bwd(interpret, res, g):
     x, wy, wx = res
-    er, ei, cr, ci, wyr, wyi, wxr, wxi = _prep(x, wy, wx)
+    e, ci, wy4, wx4 = _prep(x, wy, wx)
 
-    # dx: the adjoint operator — forward bases become (cr^T, ci^T), inverse
-    # bases (er^T, ei^T); weights transpose (i, o) and flip the imag sign.
-    tw = lambda w: jnp.swapaxes(w, 1, 2)
+    # dx: the adjoint operator — forward basis becomes CI^T, inverse E^T;
+    # weights (i, o)-transposed with the imaginary sign flipped (the
+    # conjugate transpose of the complex mode weights).
+    adj = lambda w4: (jnp.swapaxes(w4[0], 1, 2), -jnp.swapaxes(w4[1], 1, 2))
     dx = _mix_pallas(
-        g, cr.T, ci.T, er.T, ei.T,
-        tw(wyr), -tw(wyi), tw(wxr), -tw(wxi),
-        interpret=interpret,
+        g.astype(x.dtype), ci.T, e.T, adj(wy4), adj(wx4), interpret=interpret
     )
 
-    # dW: recompute forward spectra of x and backward spectra of g.
-    def wgrad(axis, fr_basis):
-        sr, si = _spectra(x, er, ei, axis)          # [..., m, c_i]
-        gr, gi = _spectra(g, cr.T, ci.T, axis)      # [..., m, c_o]
+    # dW: recompute forward spectra of x and backward spectra of g (XLA
+    # einsums; M=16 rows — cheap).
+    n, m = x.shape[1], wy.shape[2]
+    ern, ein = rdft_basis(n, m)
+    crn, cin_ = irdft_basis(n, m)
+    er = jnp.asarray(ern.astype(np.dtype(str(x.dtype))))
+    ei = jnp.asarray(ein.astype(np.dtype(str(x.dtype))))
+    crt = jnp.asarray(crn.T.astype(np.dtype(str(x.dtype))))
+    cit = jnp.asarray(cin_.T.astype(np.dtype(str(x.dtype))))
+
+    def wgrad(axis):
+        sr, si = _spectra(x, er, ei, axis)            # [..., m, c_i]
+        gr, gi = _spectra(g.astype(x.dtype), crt, cit, axis)  # [..., m, c_o]
         dwr = jnp.einsum("...mi,...mo->iom", sr, gr) + jnp.einsum(
             "...mi,...mo->iom", si, gi)
         dwi = jnp.einsum("...mi,...mo->iom", sr, gi) - jnp.einsum(
             "...mi,...mo->iom", si, gr)
         return jnp.stack([dwr, dwi], axis=-1)
 
-    dwy = wgrad(2, None)
-    dwx = wgrad(1, None)
-    return dx, dwy, dwx
+    dwy = wgrad(2).astype(wy.dtype)
+    dwx = wgrad(1).astype(wx.dtype)
+    return dx.astype(x.dtype), dwy, dwx
 
 
 fused_mix_2d.defvjp(_fused_mix_fwd, _fused_mix_bwd)
 
 
 def make_ffno_mix(use_pallas: str = "auto"):
-    """Return the dual-branch mixing fn: the Pallas kernel on TPU, the
-    einsum path elsewhere (CPU tests run the reference composition)."""
+    """Return the dual-branch mixing fn: the fused Pallas kernel on TPU
+    (square grids), the einsum composition elsewhere."""
     from .spectral import spectral_mix_axis
 
     def jnp_mix(x, wy, wx):
@@ -204,6 +229,6 @@ def make_ffno_mix(use_pallas: str = "auto"):
 
     if use_pallas == "always":
         return lambda x, wy, wx: fused_mix_2d(x, wy, wx)
-    # 'auto' == 'never' until Mosaic supports the required relayout casts
-    # (see module docstring).
+    # 'auto' == 'never': the kernel compiles on today's Mosaic but the
+    # layout rules cap it below the XLA chain (see module docstring).
     return jnp_mix

@@ -1,6 +1,7 @@
 """Correctness tests for the fused Pallas spectral-mix kernel (interpret
-mode — the Mosaic TPU compile path is blocked on lane-reshape support; see
-the module docstring)."""
+mode here; the same kernel compiles and matches on the real chip — kept
+as a non-default path because Mosaic's layout rules cap it below the XLA
+chain at flagship shapes; see the module docstring)."""
 
 import jax
 import jax.numpy as jnp
