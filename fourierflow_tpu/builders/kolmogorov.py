@@ -155,6 +155,7 @@ def generate_kolmogorov(
     out_vorticity: bool = True,
     mesh=None,
     spatial_axis: str = "spatial",
+    chunk_outer="auto",
 ):
     """Simulate one Kolmogorov trajectory and downsample snapshots to all
     requested output grids (reference builders/kolmogorov.py:328-405).
@@ -255,20 +256,104 @@ def generate_kolmogorov(
     # time axis — now warmup composes with trajectory recording, and the
     # writer asserts the time dimension.)
     start = time.time()
-    if warmup_steps > 0:
-        warm = jax.jit(vwrap(repeated(outer_step_fn, warmup_steps)))
-        state = warm(state)
-    if outer_steps == 0:
-        outs = jax.jit(vwrap(downsample))(state)
-        outs = jax.tree.map(np.asarray, outs)
-        elapsed = np.float32(time.time() - start)
-        return outs, elapsed
 
-    traj_fn = jax.jit(vwrap(trajectory(outer_step_fn, outer_steps, downsample)))
-    _, trajs = traj_fn(state)
-    trajs = jax.tree.map(np.asarray, trajs)
+    # ---- Chunked simulation: the relay kills any single XLA dispatch
+    # running longer than ~1 minute (see trainers/trainer.py), and one
+    # whole-trajectory scan at large sim grids runs for minutes. Warmup
+    # and recording are split into bounded dispatches; 'auto' calibrates
+    # the chunk length from a timed probe dispatch (the probes advance the
+    # state, so they double as the first warmup steps). chunk_outer=None/0
+    # keeps the historical single-dispatch behavior.
+    time_axis = 1 if batched else 0
+    fn_cache = {}
+
+    def traj_chunk(k):
+        if k not in fn_cache:
+            fn_cache[k] = jax.jit(vwrap(trajectory(outer_step_fn, k, downsample)))
+        return fn_cache[k]
+
+    def sync(tree):
+        leaf = jax.tree.leaves(tree)[0]
+        _ = np.asarray(jax.device_get(leaf.ravel()[0]))
+
+    if outer_steps == 0 and warmup_steps == 0:
+        pass
+    elif not chunk_outer:
+        if warmup_steps > 0:
+            state = jax.jit(vwrap(repeated(outer_step_fn, warmup_steps)))(state)
+        if outer_steps > 0:
+            state, trajs = traj_chunk(outer_steps)(state)
+            trajs = jax.tree.map(np.asarray, trajs)
+            elapsed = np.float32(time.time() - start)
+            return trajs, elapsed
+    else:
+        target_s = 25.0
+        rate = None  # outer steps per second, measured
+        warm_left = warmup_steps
+        rec_parts = []
+        rec_left = outer_steps
+
+        def run_chunk(state, k, record):
+            nonlocal warm_left, rec_left
+            state, outs = traj_chunk(k)(state)
+            if record:
+                rec_parts.append(outs)
+                rec_left -= k
+            else:
+                warm_left -= k
+            return state, outs
+
+        if chunk_outer == "auto":
+            # Probe twice at a small size: the first pays the compile, the
+            # second is timed clean. Probes advance the simulation, so they
+            # consume warmup steps first and only record once warmup is
+            # fully done (ordering is semantic: the recorded trajectory
+            # starts AFTER the burn-in).
+            for attempt in range(2):
+                if warm_left > 0:
+                    k, record = min(64, warm_left), False
+                elif rec_left > 0:
+                    k, record = min(64, rec_left), True
+                else:
+                    break
+                state, outs = run_chunk(state, k, record=record)
+                t0 = time.time()
+                sync(outs)
+                if attempt == 1:
+                    rate = k / max(time.time() - t0 + 1e-9, 1e-3)
+            if rate is not None:
+                chunk = max(8, int(target_s * rate))
+            else:
+                chunk = max(1, warm_left + rec_left)
+        else:
+            chunk = int(chunk_outer)
+
+        def schedule(total):
+            if total <= 0:
+                return []
+            n_chunks = -(-total // chunk)
+            base = total // n_chunks
+            extra = total - base * n_chunks
+            return [base + 1] * extra + [base] * (n_chunks - extra)
+
+        for k in schedule(warm_left):
+            state, outs = run_chunk(state, k, record=False)
+        for k in schedule(rec_left):
+            state, outs = run_chunk(state, k, record=True)
+
+        if outer_steps > 0:
+            rec_parts = [jax.tree.map(np.asarray, p) for p in rec_parts]
+            trajs = jax.tree.map(
+                lambda *xs: np.concatenate(xs, axis=time_axis), *rec_parts
+            )
+            elapsed = np.float32(time.time() - start)
+            return trajs, elapsed
+
+    # Warmup-only (initial-conditions configs): return the warmed snapshot.
+    outs = jax.jit(vwrap(downsample))(state)
+    outs = jax.tree.map(np.asarray, outs)
     elapsed = np.float32(time.time() - start)
-    return trajs, elapsed
+    return outs, elapsed
 
 
 # ---------------------------------------------------------------------------

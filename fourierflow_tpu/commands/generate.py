@@ -116,6 +116,7 @@ def kolmogorov(config_path: str, overrides=None):
                 outer_steps=outer_steps,
                 warmup_steps=warmup_steps,
                 out_vorticity=out_vorticity,
+                chunk_outer=cfg.get("generation_chunk", "auto"),
             )
             for key, f in files.items():
                 k = key[1]

@@ -623,3 +623,45 @@ def test_multi_dataset_falls_back_to_host_loop(kolmogorov_files):
     trainer = Trainer(max_epochs=2, data_parallel=False)
     trainer.fit(routine, builder)
     assert np.isfinite(trainer.logs["train_loss"])
+
+
+def test_chunked_generation_matches_single_dispatch():
+    """chunk_outer splits warmup+recording into bounded dispatches (the
+    relay kills >1 min dispatches); the recorded trajectory must be
+    identical to the single-dispatch path."""
+    import jax
+
+    from fourierflow_tpu.builders.kolmogorov import (
+        downsample_vorticity_snapshot,
+        generate_kolmogorov,
+    )
+    from fourierflow_tpu.utils.equations import NavierStokes2D, crank_nicolson_rk4
+    from fourierflow_tpu.utils.forcings import kolmogorov_forcing_fn
+    from fourierflow_tpu.utils.grids import Grid
+
+    grid = Grid((32, 32), domain=((0, 2 * np.pi), (0, 2 * np.pi)))
+    eq = NavierStokes2D(viscosity=1e-3, grid=grid, drag=0.1, smooth=True,
+                        forcing_fn=kolmogorov_forcing_fn)
+    kwargs = dict(
+        sim_grid=grid, out_sizes=[{"size": 32, "k": 1}],
+        method="pseudo_spectral", step_fn=crank_nicolson_rk4(eq, 0.005),
+        downsample_fn=downsample_vorticity_snapshot,
+        seed=jax.random.PRNGKey(3), inner_steps=2, outer_steps=9,
+        warmup_steps=5,
+    )
+    single, _ = generate_kolmogorov(chunk_outer=None, **kwargs)
+    chunked, _ = generate_kolmogorov(chunk_outer=3, **kwargs)
+    auto, _ = generate_kolmogorov(chunk_outer="auto", **kwargs)
+    ws = np.asarray(single[(32, 1)]["vorticity"])
+    np.testing.assert_allclose(
+        np.asarray(chunked[(32, 1)]["vorticity"]), ws, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(auto[(32, 1)]["vorticity"]), ws, rtol=1e-5, atol=1e-5)
+
+    # batched generation (leading [B, 2] seed) chunks identically
+    seeds = jax.random.split(jax.random.PRNGKey(3), 2)
+    b_single, _ = generate_kolmogorov(chunk_outer=None, **{**kwargs, "seed": seeds})
+    b_chunked, _ = generate_kolmogorov(chunk_outer=4, **{**kwargs, "seed": seeds})
+    np.testing.assert_allclose(
+        np.asarray(b_chunked[(32, 1)]["vorticity"]),
+        np.asarray(b_single[(32, 1)]["vorticity"]), rtol=1e-5, atol=1e-5)
