@@ -117,6 +117,7 @@ def _solve(
     force: str,
     varying_force: bool,
     fourier_impl: str = "auto",
+    t0=0.0,
 ):
     def rfft2(x, axes):
         return _rfft2(x, axes=axes, impl=fourier_impl)
@@ -184,7 +185,7 @@ def _solve(
         return (w_h, t), (w, f_rec, t)
 
     (w_h, t), (sol, fs, sol_t) = jax.lax.scan(
-        outer, (w_h, jnp.asarray(0.0, dtype=w0.dtype)), jnp.arange(record_steps)
+        outer, (w_h, jnp.asarray(t0, dtype=w0.dtype)), jnp.arange(record_steps)
     )
     # scan stacks on axis 0 -> [record, b, n, n]; put time last.
     sol = jnp.moveaxis(sol, 0, -1)
@@ -205,11 +206,19 @@ def solve_navier_stokes_2d(
     varying_force: bool = False,
     key: Optional[jax.Array] = None,
     fourier_impl: str = "auto",
+    chunk_records="auto",
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     """Solve 2D NS in vorticity form; returns (sol [b,n,n,record_steps], f).
 
     Mirrors the reference signature (ns_2d.py:23-200). ``key`` seeds the
     random forcing coefficients (the reference draws a numpy seed).
+
+    ``chunk_records`` bounds the record windows simulated per XLA dispatch
+    (the relay kills single dispatches over ~1 minute): 'auto' calibrates
+    from a timed probe, an int pins the window count, None/0 keeps one
+    dispatch. Chunks carry the spectral state through the (exact)
+    irfft/rfft round trip at a record boundary; results are identical to
+    the single-dispatch solve.
     """
     force = Force(force)
     b, n, _ = w0.shape
@@ -231,22 +240,70 @@ def solve_navier_stokes_2d(
         if not varying_force:
             f_static = random_force(alphas, n, 0.0, 0.0, scaling)
 
-    sol, fs, _ = _solve(
-        jnp.asarray(w0),
-        visc,
-        float(delta_t),
-        int(record_steps),
-        int(inner_steps),
-        f_static,
-        alphas,
-        int(cycles or 0),
-        float(scaling or 0.0),
-        float(t_scaling or 0.0),
-        force.value,
-        bool(varying_force),
-        resolve_fourier_impl(fourier_impl),
+    def run(rec, w_start, t0):
+        return _solve(
+            w_start,
+            visc,
+            float(delta_t),
+            int(rec),
+            int(inner_steps),
+            f_static,
+            alphas,
+            int(cycles or 0),
+            float(scaling or 0.0),
+            float(t_scaling or 0.0),
+            force.value,
+            bool(varying_force),
+            resolve_fourier_impl(fourier_impl),
+            t0,
+        )
+
+    w_cur = jnp.asarray(w0)
+    if not chunk_records:
+        sol, fs, _ = run(record_steps, w_cur, 0.0)
+        sol_parts, fs_parts = [sol], [fs]
+    else:
+        sol_parts, fs_parts = [], []
+        left, t0, rate = record_steps, 0.0, None
+        import time as _time
+
+        def take(rec):
+            nonlocal w_cur, left, t0
+            sol_c, fs_c, _ = run(rec, w_cur, t0)
+            sol_parts.append(sol_c)
+            fs_parts.append(fs_c)
+            w_cur = sol_c[..., -1]
+            t0 += rec * inner_steps * delta_t
+            left -= rec
+            return sol_c
+
+        if chunk_records == "auto":
+            # two probe windows: first pays the compile, second is timed.
+            for attempt in range(2):
+                if left <= 0:
+                    break
+                probe = min(8, left)
+                sol_c = take(probe)
+                t_m = _time.time()
+                _ = np.asarray(sol_c[0, 0, 0, -1])  # sync (fetch, not block_until_ready)
+                if attempt == 1:
+                    rate = probe / max(_time.time() - t_m, 1e-3)
+            chunk = max(2, int(25.0 * rate)) if rate else max(1, left)
+        else:
+            chunk = int(chunk_records)
+        if left > 0:
+            n_chunks = -(-left // chunk)
+            base = left // n_chunks
+            extra = left - base * n_chunks
+            for k in [base + 1] * extra + [base] * (n_chunks - extra):
+                take(k)
+
+    sol = np.concatenate([np.asarray(p) for p in sol_parts], axis=-1)
+    fs = (
+        np.concatenate([np.asarray(p) for p in fs_parts], axis=-1)
+        if varying_force
+        else fs_parts[-1]
     )
-    sol = np.asarray(sol)
     if np.isnan(sol).any():
         raise ValueError("NaN values found.")
 

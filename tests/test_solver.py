@@ -119,3 +119,36 @@ def test_gaussian_random_field_spectrum():
     low = spec[:, 1:4, 1:4].mean()
     high = spec[:, 12:16, 12:16].mean()
     assert low > 10 * high
+
+
+def test_solve_ns2d_chunked_matches_single_dispatch():
+    """chunk_records splits the time loop into bounded dispatches; the
+    spectral state round-trips exactly through the record-boundary
+    irfft/rfft, so results match the single-dispatch solve."""
+    import jax
+
+    from fourierflow_tpu.builders.synthetic import (
+        gaussian_random_field,
+        solve_navier_stokes_2d,
+    )
+
+    w0 = np.asarray(
+        gaussian_random_field(jax.random.PRNGKey(5), 3, 16, n_dims=2,
+                              alpha=2.5, tau=7.0)
+    )
+    kw = dict(visc=1e-3, t_end=0.6, delta_t=1e-2, record_steps=12)
+    sol1, _ = solve_navier_stokes_2d(w0, chunk_records=None, **kw)
+    sol2, _ = solve_navier_stokes_2d(w0, chunk_records=5, **kw)
+    sol3, _ = solve_navier_stokes_2d(w0, chunk_records="auto", **kw)
+    np.testing.assert_allclose(sol2, sol1, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(sol3, sol1, rtol=2e-5, atol=2e-5)
+
+    # time-varying random forcing: forces are recorded per window and
+    # depend on the carried time — must also match exactly.
+    kwf = dict(visc=1e-4, t_end=0.4, delta_t=1e-2, record_steps=8,
+               force="random", varying_force=True, cycles=2, scaling=0.5,
+               t_scaling=0.2, key=jax.random.PRNGKey(7))
+    s1, f1 = solve_navier_stokes_2d(w0, chunk_records=None, **kwf)
+    s2, f2 = solve_navier_stokes_2d(w0, chunk_records=3, **kwf)
+    np.testing.assert_allclose(s2, s1, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(f2, f1, rtol=2e-5, atol=2e-5)
