@@ -114,3 +114,37 @@ def test_feedforward_fused_path_matches_plain():
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
         gp, gf,
     )
+
+
+def test_feedforward_fwd_only_fusion_matches():
+    """fuse='fwd' (fused forward, XLA-dots backward) matches plain."""
+    from fourierflow_tpu.layers import FeedForward
+
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(3, 7, 12).astype(np.float32))
+    plain = FeedForward(12, 2, ff_weight_norm=True, fuse="never")
+    params = plain.init(jax.random.PRNGKey(0), x)
+    # 'fwd' mode == fused_ff with fuse_bwd=False on the effective weights
+    from fourierflow_tpu.ops.pallas_ff import fused_ff
+
+    k1 = params["params"]["WNLinear_0"]["kernel"]
+    g1 = params["params"]["WNLinear_0"]["g"]
+    b1 = params["params"]["WNLinear_0"]["bias"]
+    k2 = params["params"]["WNLinear_1"]["kernel"]
+    g2 = params["params"]["WNLinear_1"]["g"]
+    b2 = params["params"]["WNLinear_1"]["bias"]
+
+    def eff(k, g):
+        n = jnp.linalg.norm(k, axis=0, keepdims=True)
+        return g * k / jnp.maximum(n, 1e-12)
+
+    def loss_fwdonly(x):
+        return jnp.sum(fused_ff(x, eff(k1, g1), b1, eff(k2, g2), b2,
+                                True, False) ** 2)
+
+    def loss_plain_x(x):
+        return jnp.sum(plain.apply(params, x) ** 2)
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss_fwdonly)(x)),
+        np.asarray(jax.grad(loss_plain_x)(x)), rtol=1e-4, atol=1e-5)
