@@ -304,25 +304,28 @@ def generate_kolmogorov(
             return state, outs
 
         if chunk_outer == "auto":
-            # Probe twice at a small size: the first pays the compile, the
-            # second is timed clean. Probes advance the simulation, so they
+            # Probe twice with ONE outer step: the first pays the compile,
+            # the second is timed clean. One step keeps even a 2048² probe
+            # dispatch (~2 s) far below the kill threshold; the dispatch
+            # overhead folded into the measurement only makes the chunk
+            # size conservative. Probes advance the simulation, so they
             # consume warmup steps first and only record once warmup is
             # fully done (ordering is semantic: the recorded trajectory
             # starts AFTER the burn-in).
             for attempt in range(2):
                 if warm_left > 0:
-                    k, record = min(64, warm_left), False
+                    record = False
                 elif rec_left > 0:
-                    k, record = min(64, rec_left), True
+                    record = True
                 else:
                     break
-                state, outs = run_chunk(state, k, record=record)
+                state, outs = run_chunk(state, 1, record=record)
                 t0 = time.time()
                 sync(outs)
                 if attempt == 1:
-                    rate = k / max(time.time() - t0 + 1e-9, 1e-3)
+                    rate = 1.0 / max(time.time() - t0 + 1e-9, 1e-3)
             if rate is not None:
-                chunk = max(8, int(target_s * rate))
+                chunk = max(2, int(target_s * rate))
             else:
                 chunk = max(1, warm_left + rec_left)
         else:

@@ -81,7 +81,11 @@ def make_scan_epoch_indexed(
     removes the need to know the model's step time up front.
     """
 
-    AUTO_PROBE = 256  # steps in the calibration chunks
+    # Calibration-chunk steps: small enough that even a slow model's probe
+    # dispatch stays far below the ~1 min kill threshold (a 512² grid runs
+    # ~0.5 s/step); the dispatch overhead folded into the timing only
+    # makes the chosen chunk conservative.
+    AUTO_PROBE = 32
     AUTO_TARGET_S = 30.0
 
     def chunk_fn(state, data, kperm, kstep, start, size):
