@@ -156,6 +156,7 @@ def generate_kolmogorov(
     mesh=None,
     spatial_axis: str = "spatial",
     chunk_outer="auto",
+    fn_cache: Optional[dict] = None,
 ):
     """Simulate one Kolmogorov trajectory and downsample snapshots to all
     requested output grids (reference builders/kolmogorov.py:328-405).
@@ -265,7 +266,13 @@ def generate_kolmogorov(
     # state, so they double as the first warmup steps). chunk_outer=None/0
     # keeps the historical single-dispatch behavior.
     time_axis = 1 if batched else 0
-    fn_cache = {}
+    # Callers generating many trajectory batches with the SAME config pass
+    # a persistent dict here: the jitted chunk functions (and their XLA
+    # compilations, ~minutes each at large sim grids) are then reused
+    # across generate_kolmogorov calls instead of recompiled per batch.
+    # jit retraces automatically for a differently-sized final batch.
+    if fn_cache is None:
+        fn_cache = {}
 
     def traj_chunk(k):
         if k not in fn_cache:
@@ -303,7 +310,11 @@ def generate_kolmogorov(
                 warm_left -= k
             return state, outs
 
-        if chunk_outer == "auto":
+        if chunk_outer == "auto" and "__chunk__" in fn_cache:
+            # A previous batch with this cache already calibrated; reuse
+            # its chunk so every compiled chunk length cache-hits.
+            chunk = fn_cache["__chunk__"]
+        elif chunk_outer == "auto":
             # Probe twice with ONE outer step: the first pays the compile,
             # the second is timed clean. One step keeps even a 2048² probe
             # dispatch (~2 s) far below the kill threshold; the dispatch
@@ -328,6 +339,7 @@ def generate_kolmogorov(
                 chunk = max(2, int(target_s * rate))
             else:
                 chunk = max(1, warm_left + rec_left)
+            fn_cache["__chunk__"] = chunk
         else:
             chunk = int(chunk_outer)
 

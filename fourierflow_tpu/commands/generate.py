@@ -91,6 +91,9 @@ def kolmogorov(config_path: str, overrides=None):
     # the MXU at small sim grids; 1 preserves the sequential path (large
     # grids / mesh sharding).
     gen_batch = max(1, int(cfg.get("generation_batch", 1)))
+    # Compiled chunk functions persist across trajectory batches (same
+    # config): avoids re-paying multi-minute XLA compiles per batch.
+    gen_fn_cache = {}
     try:
         for start in range(0, n_traj, gen_batch):
             bsz = min(gen_batch, n_traj - start)
@@ -117,6 +120,7 @@ def kolmogorov(config_path: str, overrides=None):
                 warmup_steps=warmup_steps,
                 out_vorticity=out_vorticity,
                 chunk_outer=cfg.get("generation_chunk", "auto"),
+                fn_cache=gen_fn_cache,
             )
             for key, f in files.items():
                 k = key[1]

@@ -117,7 +117,9 @@ def make_scan_epoch_indexed(
         if metrics:
             float(next(iter(metrics.values())))
         else:
-            float(jnp.asarray(state.step).astype(jnp.float32))
+            # state.step is an int scalar; float() fetches it directly
+            # (avoid eager cast ops — eager dispatch is slow on the relay).
+            float(state.step)
 
     def _schedule(n_batches):
         """Chunk sizes covering n_batches with few distinct values."""

@@ -665,3 +665,46 @@ def test_chunked_generation_matches_single_dispatch():
     np.testing.assert_allclose(
         np.asarray(b_chunked[(32, 1)]["vorticity"]),
         np.asarray(b_single[(32, 1)]["vorticity"]), rtol=1e-5, atol=1e-5)
+
+
+def test_generation_fn_cache_reuse_across_batches():
+    """A persistent fn_cache (as the generate command passes per config)
+    reuses compiled chunk fns across calls without changing results."""
+    import jax
+
+    from fourierflow_tpu.builders.kolmogorov import (
+        downsample_vorticity_snapshot,
+        generate_kolmogorov,
+    )
+    from fourierflow_tpu.utils.equations import NavierStokes2D, crank_nicolson_rk4
+    from fourierflow_tpu.utils.forcings import kolmogorov_forcing_fn
+    from fourierflow_tpu.utils.grids import Grid
+
+    grid = Grid((32, 32), domain=((0, 2 * np.pi), (0, 2 * np.pi)))
+    eq = NavierStokes2D(viscosity=1e-3, grid=grid, drag=0.1, smooth=True,
+                        forcing_fn=kolmogorov_forcing_fn)
+    kwargs = dict(
+        sim_grid=grid, out_sizes=[{"size": 32, "k": 1}],
+        method="pseudo_spectral", step_fn=crank_nicolson_rk4(eq, 0.005),
+        downsample_fn=downsample_vorticity_snapshot,
+        inner_steps=2, outer_steps=6, warmup_steps=3,
+    )
+    cache = {}
+    a1, _ = generate_kolmogorov(seed=jax.random.PRNGKey(1), fn_cache=cache,
+                                chunk_outer="auto", **kwargs)
+    assert "__chunk__" in cache
+    a2, _ = generate_kolmogorov(seed=jax.random.PRNGKey(2), fn_cache=cache,
+                                chunk_outer="auto", **kwargs)
+    # call 2 skips the probes (different warmup split -> may add one size);
+    # from call 3 on, every chunk fn cache-hits.
+    n_fns = len(cache)
+    a3, _ = generate_kolmogorov(seed=jax.random.PRNGKey(3), fn_cache=cache,
+                                chunk_outer="auto", **kwargs)
+    assert len(cache) == n_fns, "third call must reuse every compiled fn"
+    fresh, _ = generate_kolmogorov(seed=jax.random.PRNGKey(2),
+                                   chunk_outer="auto", **kwargs)
+    np.testing.assert_allclose(
+        np.asarray(a2[(32, 1)]["vorticity"]),
+        np.asarray(fresh[(32, 1)]["vorticity"]), rtol=1e-5, atol=1e-5)
+    assert np.abs(np.asarray(a1[(32, 1)]["vorticity"]) -
+                  np.asarray(a2[(32, 1)]["vorticity"])).max() > 1e-3
