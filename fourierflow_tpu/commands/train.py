@@ -63,6 +63,16 @@ def build_trainer(trainer_cfg: dict, callbacks=()):
     limit = cfg.get("limit_train_batches")
     if isinstance(limit, float):
         limit = None if limit >= 1.0 else max(1, int(limit))
+    if cfg.get("fast_dev_run"):
+        # Reference debug knob (pl.Trainer fast_dev_run): touch one train
+        # batch and one validation batch, no checkpointing. Epoch 0 is the
+        # normalizer-accumulation pass here, so two epochs = acc + 1 step.
+        return Trainer(
+            max_epochs=2,
+            limit_train_batches=1,
+            limit_val_batches=1,
+            callbacks=[],
+        )
     return Trainer(
         max_epochs=cfg.get("max_epochs", 1),
         limit_train_batches=limit,
@@ -100,6 +110,11 @@ def main(
 
     builder = instantiate(cfg["builder"])
     routine = build_routine(cfg["routine"], builder)
+    # Reference debug knob: trainer.track_grad_norm = 2 logs gradient
+    # norms (commands/train.py + pl.Trainer); -1/absent disables.
+    tgn = (cfg.get("trainer") or {}).get("track_grad_norm")
+    if tgn not in (None, -1, False):
+        routine.track_grad_norm = True
 
     config_dir = os.path.dirname(os.path.abspath(config_path))
     existing = _existing_trial_dirs(config_dir, trial)

@@ -63,8 +63,22 @@ class Routine:
     """Base functional routine. Subclasses set ``self.model`` (a flax
     module) and implement the step functions."""
 
-    def __init__(self, optimizer: Optional[optax.GradientTransformation] = None, **kwargs):
+    def __init__(
+        self,
+        optimizer: Optional[optax.GradientTransformation] = None,
+        track_grad_norm: bool = False,
+        **kwargs,
+    ):
         self.optimizer = optimizer if optimizer is not None else make_optimizer()
+        # Reference trainer debug knob (`track_grad_norm` in configs,
+        # commands/train.py / pl.Trainer): when on, apply_grads adds the
+        # global gradient L2 norm to the metrics via grad_norm().
+        self.track_grad_norm = track_grad_norm
+
+    @staticmethod
+    def grad_norm(grads) -> jax.Array:
+        """Global L2 norm over a gradient pytree (for debug logging)."""
+        return optax.global_norm(grads)
 
     # --- contract -------------------------------------------------------
     def init(self, key, sample_batch) -> TrainState:

@@ -60,7 +60,7 @@ class Grid2DMarkovRoutine(Routine):
         conv=None,
         **kwargs,
     ):
-        super().__init__(optimizer=optimizer)
+        super().__init__(optimizer=optimizer, **kwargs)
         # `conv` is the reference's name for the model argument
         # (grid_2d_markov.py:24-25).
         self.model = model if model is not None else conv
@@ -182,7 +182,10 @@ class Grid2DMarkovRoutine(Routine):
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         state = self.apply_grads(state.replace(normalizer=norm), grads)
-        return state, {"train_loss": loss}
+        metrics = {"train_loss": loss}
+        if self.track_grad_norm:
+            metrics["grad_norm"] = self.grad_norm(grads)
+        return state, metrics
 
     def rollout(self, state: TrainState, batch):
         """Autoregressive rollout over the trailing n_steps of the

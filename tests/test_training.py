@@ -322,3 +322,28 @@ def test_chunked_epoch_matches_single_dispatch(synthetic_dataset):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s3.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
+def test_track_grad_norm_and_fast_dev_run(synthetic_dataset):
+    """Reference debug knobs: track_grad_norm adds the global grad L2 norm
+    to train metrics; trainer.fast_dev_run builds a 1-batch trainer."""
+    import jax.numpy as jnp
+
+    from fourierflow_tpu.commands.train import build_trainer
+
+    builder = NSMarkovBuilder(
+        synthetic_dataset, train_size=8, test_size=4, ssr=1, batch_size=4
+    )
+    routine = _markov_routine(lr=1e-3)
+    routine.track_grad_norm = True
+    state = routine.init(jax.random.PRNGKey(0), builder.sample_batch())
+    state, metrics = jax.jit(routine.train_step)(
+        state, builder.sample_batch(), jax.random.PRNGKey(1)
+    )
+    assert "grad_norm" in metrics and float(metrics["grad_norm"]) > 0
+
+    trainer = build_trainer({"fast_dev_run": True, "max_epochs": 50})
+    assert trainer.max_epochs == 2
+    assert trainer.limit_train_batches == 1
+    state = trainer.fit(routine, builder)
+    assert trainer.current_epoch == 1
