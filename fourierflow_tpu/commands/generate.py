@@ -61,6 +61,8 @@ def kolmogorov(config_path: str, overrides=None):
 
     # Open output files and pre-create datasets for streaming writes.
     files = {}
+    final_paths = {}
+    completed = False
     ndim = sim_grid.ndim
     fields = ["vx", "vy", "vz"][:ndim] + (
         ["vorticity"] if (out_vorticity and ndim == 2) else []
@@ -77,7 +79,10 @@ def kolmogorov(config_path: str, overrides=None):
             path = os.path.join(config_dir, f"{stem}_{size}.h5")
             shape = (n_traj,) + (size,) * ndim
             times = None
-        f = h5py.File(path, "w")
+        # Stream into a temp name; rename on completion so an interrupted
+        # run can never masquerade as a finished dataset (partially-filled
+        # files would otherwise train on silent zeros on resume).
+        f = h5py.File(path + ".tmp", "w")
         for name in fields:
             f.create_dataset(name, shape, np.float32)
         if times is not None:
@@ -86,6 +91,7 @@ def kolmogorov(config_path: str, overrides=None):
         f.attrs["dt"] = dt
         f.attrs["inner_steps"] = inner_steps
         files[key] = f
+        final_paths[key] = path
 
     # Trajectories per vmapped dispatch: amortizes relay latency and fills
     # the MXU at small sim grids; 1 preserves the sequential path (large
@@ -143,11 +149,20 @@ def kolmogorov(config_path: str, overrides=None):
                 "trajectories %d-%d/%d done in %.1fs",
                 start + 1, start + bsz, n_traj, elapsed,
             )
+        completed = True
     finally:
         for f in files.values():
             f.close()
         if init_file is not None:
             init_file.close()
+        for key, path in final_paths.items():
+            if completed:
+                os.replace(path + ".tmp", path)
+            else:
+                try:
+                    os.remove(path + ".tmp")
+                except OSError:
+                    pass
 
 
 def navier_stokes(
