@@ -280,8 +280,11 @@ def generate_kolmogorov(
         return fn_cache[k]
 
     def sync(tree):
-        leaf = jax.tree.leaves(tree)[0]
-        _ = np.asarray(jax.device_get(leaf.ravel()[0]))
+        # Wholesale fetch of one (small, downsampled) leaf: no eager
+        # device ops (leaf.ravel()[0] would dispatch an eager gather —
+        # pathologically slow on the relay and it would poison the probe
+        # timing that sizes every later chunk).
+        _ = np.asarray(jax.device_get(jax.tree.leaves(tree)[0]))
 
     if outer_steps == 0 and warmup_steps == 0:
         pass
@@ -336,20 +339,19 @@ def generate_kolmogorov(
                 if attempt == 1:
                     rate = 1.0 / max(time.time() - t0 + 1e-9, 1e-3)
             if rate is not None:
-                chunk = max(2, int(target_s * rate))
+                from ..utils.chunking import rate_to_chunk
+
+                chunk = rate_to_chunk(rate, target_s)
             else:
                 chunk = max(1, warm_left + rec_left)
             fn_cache["__chunk__"] = chunk
         else:
             chunk = int(chunk_outer)
 
+        from ..utils.chunking import bounded_schedule
+
         def schedule(total):
-            if total <= 0:
-                return []
-            n_chunks = -(-total // chunk)
-            base = total // n_chunks
-            extra = total - base * n_chunks
-            return [base + 1] * extra + [base] * (n_chunks - extra)
+            return bounded_schedule(total, chunk)
 
         for k in schedule(warm_left):
             state, outs = run_chunk(state, k, record=False)

@@ -277,26 +277,29 @@ def solve_navier_stokes_2d(
             left -= rec
             return sol_c
 
+        from ...utils.chunking import bounded_schedule, rate_to_chunk
+
+        PROBE = 8
         if chunk_records == "auto":
-            # two probe windows: first pays the compile, second is timed.
-            for attempt in range(2):
-                if left <= 0:
-                    break
-                probe = min(8, left)
-                sol_c = take(probe)
-                t_m = _time.time()
-                _ = np.asarray(sol_c[0, 0, 0, -1])  # sync (fetch, not block_until_ready)
-                if attempt == 1:
-                    rate = probe / max(_time.time() - t_m, 1e-3)
-            chunk = max(2, int(25.0 * rate)) if rate else max(1, left)
+            # Two EQUAL-size probe windows: the first pays the compile, the
+            # second is timed clean (record_steps is a static arg, so an
+            # unequal second probe would time a fresh _solve compile and
+            # produce a garbage rate). Too little work for two probes ->
+            # no calibration; probe-size chunks are always safely short.
+            if left >= 2 * PROBE:
+                for attempt in range(2):
+                    sol_c = take(PROBE)
+                    t_m = _time.time()
+                    # wholesale fetch of the last snapshot: syncs without
+                    # eager device ops (slow on the relay).
+                    _ = np.asarray(sol_c[..., -1])
+                    if attempt == 1:
+                        rate = PROBE / max(_time.time() - t_m, 1e-3)
+            chunk = rate_to_chunk(rate, 25.0) if rate else PROBE
         else:
             chunk = int(chunk_records)
-        if left > 0:
-            n_chunks = -(-left // chunk)
-            base = left // n_chunks
-            extra = left - base * n_chunks
-            for k in [base + 1] * extra + [base] * (n_chunks - extra):
-                take(k)
+        for k in bounded_schedule(left, chunk):
+            take(k)
 
     sol = np.concatenate([np.asarray(p) for p in sol_parts], axis=-1)
     fs = (

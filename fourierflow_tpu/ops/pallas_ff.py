@@ -180,11 +180,11 @@ def _ff_fwd(x, w1, b1, w2, b2, interpret, fuse_bwd):
     if pad:
         out = out[:rows]
     out = out.reshape(*shape[:-1], w2.shape[1])
-    return out, (x, w1, b1, w2)
+    return out, (x, w1, b1, w2, b2)
 
 
 def _ff_bwd(interpret, fuse_bwd, res, g):
-    x, w1, b1, w2 = res
+    x, w1, b1, w2, b2 = res
     shape = x.shape
     x2d = x.reshape(-1, shape[-1])
     g2d = g.reshape(-1, g.shape[-1])
@@ -203,7 +203,7 @@ def _ff_bwd(interpret, fuse_bwd, res, g):
             dx2 = dx2[:rows]
         dx = dx2.reshape(shape)
         return (dx, dw1.astype(w1.dtype), db1[0].astype(b1.dtype),
-                dw2.astype(w2.dtype), db2[0].astype(w2.dtype))
+                dw2.astype(w2.dtype), db2[0].astype(b2.dtype))
     # Unfused fallback: recompute the (cheap) pre-activation; standard MLP
     # backward as XLA dots.
     pre = x2d @ w1 + b1
@@ -213,8 +213,8 @@ def _ff_bwd(interpret, fuse_bwd, res, g):
     dw1 = x2d.T @ dh
     db1 = dh.sum(axis=0)
     dw2 = h.T @ g2d
-    db2 = g2d.sum(axis=0)
-    return dx, dw1, db1, dw2, db2
+    db2 = g2d.sum(axis=0).astype(b2.dtype)
+    return dx, dw1, db1.astype(b1.dtype), dw2, db2
 
 
 fused_ff.defvjp(_ff_fwd, _ff_bwd)

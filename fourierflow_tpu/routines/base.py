@@ -80,6 +80,14 @@ class Routine:
         """Global L2 norm over a gradient pytree (for debug logging)."""
         return optax.global_norm(grads)
 
+    def with_grad_norm(self, metrics: dict, grads) -> dict:
+        """Attach the global grad norm when ``track_grad_norm`` is on —
+        call from every train_step so the config knob works uniformly."""
+        if getattr(self, "track_grad_norm", False):
+            metrics = dict(metrics)
+            metrics["grad_norm"] = self.grad_norm(grads)
+        return metrics
+
     # --- contract -------------------------------------------------------
     def init(self, key, sample_batch) -> TrainState:
         raise NotImplementedError

@@ -182,10 +182,7 @@ class Grid2DMarkovRoutine(Routine):
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
         state = self.apply_grads(state.replace(normalizer=norm), grads)
-        metrics = {"train_loss": loss}
-        if self.track_grad_norm:
-            metrics["grad_norm"] = self.grad_norm(grads)
-        return state, metrics
+        return state, self.with_grad_norm({"train_loss": loss}, grads)
 
     def rollout(self, state: TrainState, batch):
         """Autoregressive rollout over the trailing n_steps of the

@@ -101,7 +101,8 @@ class Grid2DRolloutRoutine(Routine):
 
         (loss, loss_full), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         state = self.apply_grads(state, grads)
-        return state, {"train_loss": loss, "train_loss_full": loss_full}
+        return state, self.with_grad_norm(
+            {"train_loss": loss, "train_loss_full": loss_full}, grads)
 
     def valid_step(self, state: TrainState, batch):
         loss, loss_full, preds, step_losses, p, time_until = self._unroll(

@@ -55,7 +55,8 @@ class PointCloudRoutine(Routine):
             self._loss, has_aux=True
         )(state.params, batch, rng)
         state = self.apply_grads(state, grads)
-        return state, {"train_loss": loss_data, "train_loss_reg": loss_reg}
+        return state, self.with_grad_norm(
+            {"train_loss": loss_data, "train_loss_reg": loss_reg}, grads)
 
     def valid_step(self, state: TrainState, batch):
         loss, _ = self._loss(state.params, batch, None)

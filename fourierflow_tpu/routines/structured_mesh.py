@@ -35,7 +35,7 @@ class StructuredMeshRoutine(Routine):
 
         (_, loss), grads = jax.value_and_grad(scaled, has_aux=True)(state.params)
         state = self.apply_grads(state, grads)
-        return state, {"train_loss": loss}
+        return state, self.with_grad_norm({"train_loss": loss}, grads)
 
     def valid_step(self, state: TrainState, batch):
         return {"loss": self._loss(state.params, batch)}

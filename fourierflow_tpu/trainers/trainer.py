@@ -18,6 +18,7 @@ import numpy as np
 
 from ..parallel.mesh import make_mesh, shard_batch
 from ..routines.base import Routine, TrainState
+from ..utils.chunking import bounded_schedule, rate_to_chunk
 
 logger = logging.getLogger(__name__)
 
@@ -122,15 +123,20 @@ def make_scan_epoch_indexed(
             float(state.step)
 
     def _schedule(n_batches):
-        """Chunk sizes covering n_batches with few distinct values."""
+        """Chunk sizes covering n_batches with few distinct values. With
+        no measured rate (epoch too small for an equal-size second probe,
+        whose timing would otherwise include a fresh compile), fall back
+        to probe-size chunks — always safely short."""
         if auto:
-            target = max(16, int(AUTO_TARGET_S * state_box["rate"]))
+            rate = state_box["rate"]
+            target = (
+                rate_to_chunk(rate, AUTO_TARGET_S, minimum=16)
+                if rate is not None
+                else AUTO_PROBE
+            )
         else:
             target = chunk_steps
-        n_chunks = -(-n_batches // target)
-        base = n_batches // n_chunks
-        extra = n_batches - base * n_chunks
-        return [base + 1] * extra + [base] * (n_chunks - extra)
+        return bounded_schedule(n_batches, target)
 
     def epoch_fn(state, data, key):
         n = n_items if n_items is not None else len(next(iter(data.values())))
@@ -149,22 +155,18 @@ def make_scan_epoch_indexed(
             pos += size
             return state, m
 
-        if auto and state_box["rate"] is None:
-            probe = min(AUTO_PROBE, n_batches)
-            state, m = run(state, probe)  # compile + run, untimed
+        if auto and state_box["rate"] is None and n_batches >= 2 * AUTO_PROBE:
+            # Two equal-size probes: the first pays the compile, the
+            # second is timed clean (an unequal second probe would time a
+            # fresh compile for its own static size — rate garbage).
+            state, m = run(state, AUTO_PROBE)
             _sync(state, m)
-            if pos < n_batches:
-                size = min(probe, n_batches - pos)
-                t0 = time.time()
-                state, m = run(state, size)
-                _sync(state, m)
-                state_box["rate"] = size / max(time.time() - t0, 1e-3)
+            t0 = time.time()
+            state, m = run(state, AUTO_PROBE)
+            _sync(state, m)
+            state_box["rate"] = AUTO_PROBE / max(time.time() - t0, 1e-3)
         if pos < n_batches:
-            if auto and state_box["rate"] is None:
-                sizes = [n_batches - pos]  # tiny epoch: finish directly
-            else:
-                sizes = _schedule(n_batches - pos)
-            for size in sizes:
+            for size in _schedule(n_batches - pos):
                 state, _ = run(state, size)
 
         if not parts or not parts[0][0]:

@@ -8,17 +8,23 @@
 export PYTHONPATH=/root/repo:/root/.axon_site
 
 echo "[queue] waiting for TPU..."
+healthy=0
 for i in $(seq 1 40); do
   if timeout 120 python -c "
 import jax, jax.numpy as jnp
 y = jax.jit(lambda a: a@a)(jnp.ones((1024,1024), jnp.bfloat16))
 print('tpu ok', float(y[0,0]))" >/dev/null 2>&1; then
     echo "[queue] TPU healthy after attempt $i"
+    healthy=1
     break
   fi
   echo "[queue] attempt $i: still down; sleeping 600s"
   sleep 600
 done
+if [ "$healthy" != 1 ]; then
+  echo "[queue] TPU never recovered; aborting without running stages" >&2
+  exit 1
+fi
 
 echo "[queue] === stage 1: 2048^2 smoke ==="
 timeout 3600 python - <<'EOF'
