@@ -275,9 +275,15 @@ def generate_kolmogorov(
         fn_cache = {}
 
     def traj_chunk(k):
-        if k not in fn_cache:
-            fn_cache[k] = jax.jit(vwrap(trajectory(outer_step_fn, k, downsample)))
-        return fn_cache[k]
+        # Keyed by (k, batched): a shared cache across generate_kolmogorov
+        # calls may see both vmapped batches and an unbatched remainder
+        # trajectory (n_trajectories % generation_batch == 1); reusing a
+        # vmapped chunk fn on unbatched state crashes the scan with a
+        # carry-shape mismatch and discards the whole run.
+        key = (k, batched)
+        if key not in fn_cache:
+            fn_cache[key] = jax.jit(vwrap(trajectory(outer_step_fn, k, downsample)))
+        return fn_cache[key]
 
     def sync(tree):
         # Wholesale fetch of one (small, downsampled) leaf: no eager

@@ -8,6 +8,7 @@ with the batch axis sharded over the device mesh (data parallelism via
 XLA collectives — no DDP process groups).
 """
 
+import inspect
 import logging
 import time
 from typing import Optional, Sequence
@@ -270,12 +271,23 @@ class Trainer:
                     # from vorticity) declare `device_data_fields` so only
                     # those arrays are uploaded over the relay.
                     fields = getattr(routine, "device_data_fields", None)
-                    try:
-                        device_proto = (
-                            proto_fn(fields=fields) if fields else proto_fn()
-                        )
-                    except TypeError:  # dataset without a fields parameter
-                        device_proto = proto_fn()
+                    # Signature check instead of try/except TypeError: a
+                    # TypeError raised INSIDE the dataset would otherwise be
+                    # swallowed and silently fall back to uploading every
+                    # field, defeating the vorticity-only transfer path.
+                    takes_fields = False
+                    if fields:
+                        try:
+                            sig = inspect.signature(proto_fn)
+                            takes_fields = "fields" in sig.parameters or any(
+                                p.kind is inspect.Parameter.VAR_KEYWORD
+                                for p in sig.parameters.values()
+                            )
+                        except (TypeError, ValueError):
+                            takes_fields = False
+                    device_proto = (
+                        proto_fn(fields=fields) if takes_fields else proto_fn()
+                    )
             except AttributeError:
                 device_proto = None
         use_fast = (

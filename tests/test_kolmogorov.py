@@ -708,3 +708,42 @@ def test_generation_fn_cache_reuse_across_batches():
         np.asarray(fresh[(32, 1)]["vorticity"]), rtol=1e-5, atol=1e-5)
     assert np.abs(np.asarray(a1[(32, 1)]["vorticity"]) -
                   np.asarray(a2[(32, 1)]["vorticity"])).max() > 1e-3
+
+
+def test_generation_fn_cache_batched_then_unbatched():
+    """Regression: a shared fn_cache must not hand a vmapped chunk fn to an
+    unbatched remainder trajectory (n_trajectories % generation_batch == 1
+    in commands/generate.py) — that crashed the scan with a carry-shape
+    mismatch and the finally block then deleted every .tmp output."""
+    import jax
+
+    from fourierflow_tpu.builders.kolmogorov import (
+        downsample_vorticity_snapshot,
+        generate_kolmogorov,
+    )
+    from fourierflow_tpu.utils.equations import NavierStokes2D, crank_nicolson_rk4
+    from fourierflow_tpu.utils.forcings import kolmogorov_forcing_fn
+    from fourierflow_tpu.utils.grids import Grid
+
+    grid = Grid((32, 32), domain=((0, 2 * np.pi), (0, 2 * np.pi)))
+    eq = NavierStokes2D(viscosity=1e-3, grid=grid, drag=0.1, smooth=True,
+                        forcing_fn=kolmogorov_forcing_fn)
+    kwargs = dict(
+        sim_grid=grid, out_sizes=[{"size": 32, "k": 1}],
+        method="pseudo_spectral", step_fn=crank_nicolson_rk4(eq, 0.005),
+        downsample_fn=downsample_vorticity_snapshot,
+        inner_steps=2, outer_steps=6, warmup_steps=3,
+    )
+    cache = {}
+    seeds = jax.random.split(jax.random.PRNGKey(7), 2)
+    batched, _ = generate_kolmogorov(seed=seeds, fn_cache=cache,
+                                     chunk_outer="auto", **kwargs)
+    # The "remainder batch of 1": unbatched seed, SAME cache + chunk sizes.
+    single, _ = generate_kolmogorov(seed=jax.random.PRNGKey(9), fn_cache=cache,
+                                    chunk_outer="auto", **kwargs)
+    assert single[(32, 1)]["vorticity"].ndim == 3  # [T, 32, 32], no batch dim
+    fresh, _ = generate_kolmogorov(seed=jax.random.PRNGKey(9),
+                                   chunk_outer="auto", **kwargs)
+    np.testing.assert_allclose(
+        np.asarray(single[(32, 1)]["vorticity"]),
+        np.asarray(fresh[(32, 1)]["vorticity"]), rtol=1e-5, atol=1e-5)

@@ -1,7 +1,8 @@
 """Fused feed-forward Pallas kernel: correctness vs the XLA composition
-(interpret mode on CPU; compiles natively on TPU — measured slightly
-slower than XLA's own fusion at flagship shapes, kept as an option for
-wider models; see module docstring)."""
+(interpret mode on CPU; compiles natively on TPU, where the fused
+forward+backward is default-on — layers.py fuse='auto' — because the
+fused backward keeps the dominant HBM traffic on-chip; see
+ops/pallas_ff.py and RESULTS.md for the measured step win)."""
 
 import jax
 import jax.numpy as jnp

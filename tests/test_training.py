@@ -347,3 +347,60 @@ def test_track_grad_norm_and_fast_dev_run(synthetic_dataset):
     assert trainer.limit_train_batches == 1
     state = trainer.fit(routine, builder)
     assert trainer.current_epoch == 1
+
+
+def test_sharded_train_step_matches_unsharded():
+    """The data x spatial mesh through the spectral layers — the exact path
+    __graft_entry__.dryrun_multichip exercises — must compile, run on the
+    8 virtual CPU devices, and match the unsharded train step numerically
+    (XLA inserts the collectives; results are identical data)."""
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    devices = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devices, ("data", "spatial"))
+
+    routine = _markov_routine(lr=1e-3, n_steps=4)
+    rng = np.random.RandomState(0)
+    batch = {
+        "x": np.asarray(rng.randn(4, 32, 32, 1), np.float32),
+        "y": np.asarray(rng.randn(4, 32, 32, 1), np.float32),
+    }
+    state0 = routine.init(jax.random.PRNGKey(0), batch)
+    state0 = routine.accumulate_step(state0, batch)
+
+    # Unsharded reference step.
+    s_ref, m_ref = jax.jit(routine.train_step)(state0, batch, jax.random.PRNGKey(1))
+
+    # Sharded: batch on 'data', first spatial axis on 'spatial'; params and
+    # optimizer/normalizer state replicated.
+    batch_sharding = NamedSharding(mesh, P("data", "spatial"))
+    repl = NamedSharding(mesh, P())
+    sharded_batch = {k: jax.device_put(v, batch_sharding) for k, v in batch.items()}
+    sharded_state = jax.device_put(state0, repl)
+    s_sh, m_sh = jax.jit(routine.train_step)(
+        sharded_state, sharded_batch, jax.random.PRNGKey(1)
+    )
+    np.testing.assert_allclose(
+        float(m_ref["train_loss"]), float(m_sh["train_loss"]), rtol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(s_ref.params), jax.tree.leaves(s_sh.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+    # Sharded eval rollout (scan + per-step re-featurization) as well.
+    data = jnp_data = np.asarray(rng.randn(4, 32, 32, 6), np.float32)
+    data = jax.device_put(jnp_data, NamedSharding(mesh, P("data", "spatial")))
+    val_sh = jax.jit(routine.valid_step)(s_sh, {"data": data})
+    val_ref = jax.jit(routine.valid_step)(s_ref, {"data": jnp_data})
+    assert np.isfinite(float(val_sh["loss"]))
+    np.testing.assert_allclose(
+        float(val_ref["loss"]), float(val_sh["loss"]), rtol=1e-5
+    )
+
+
+def test_graft_entry_dryrun_multichip():
+    """Run the driver's multichip dryrun exactly as shipped so the suite
+    fails whenever the dryrun would (VERDICT r1: it shipped never-run)."""
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
