@@ -246,29 +246,38 @@ class Grid2DMarkovRoutine(Routine):
         preds = jnp.moveaxis(preds, 0, -1)  # [b, X, Y, n_steps]
         return preds, step_losses, yy
 
-    def compute_losses(self, preds, step_losses, yy):
-        """Rollout metrics: mean step loss, full-field N-MSE, vorticity
-        correlation rho(t), time-until rho<0.95
-        (grid_2d_markov.py:328-372)."""
-        b = preds.shape[0]
-        n_steps = preds.shape[-1]
-        loss = jnp.mean(step_losses)
-        loss_full = lp_loss_rel(preds.reshape(b, -1), yy.reshape(b, -1))
-
+    def _rho_time_until(self, preds, yy):
+        """Mean vorticity correlation rho(t) over the batch and the sim
+        time until rho drops below 0.95 (grid_2d_markov.py:338-350)."""
         pred_norm = jnp.linalg.norm(preds, axis=(1, 2), keepdims=True)
         yy_norm = jnp.linalg.norm(yy, axis=(1, 2), keepdims=True)
         p = ((preds / pred_norm) * (yy / yy_norm)).sum(axis=(1, 2)).mean(axis=0)
         # p: [n_steps]
-
         has_diverged = p < 0.95
         diverged_t = jnp.where(
-            jnp.any(has_diverged), jnp.argmax(has_diverged), n_steps
+            jnp.any(has_diverged), jnp.argmax(has_diverged), p.shape[0]
         )
-        time_until = diverged_t * self.step_size
+        return p, diverged_t * self.step_size
+
+    def compute_losses(self, preds, step_losses, yy, corr_yy=None):
+        """Rollout metrics: mean step loss, full-field N-MSE, vorticity
+        correlation rho(t), time-until rho<0.95
+        (grid_2d_markov.py:328-372).
+
+        ``corr_yy`` [b, cX, cY, n_steps] is an independently-generated
+        reference trajectory at reduced resolution (32^2 for the
+        Kolmogorov protocol): predictions are spectrally downsampled to
+        its grid and correlated against it, giving the reference's
+        reduced_time_until / p_2 metrics (grid_2d_markov.py:353-370)."""
+        b = preds.shape[0]
+        loss = jnp.mean(step_losses)
+        loss_full = lp_loss_rel(preds.reshape(b, -1), yy.reshape(b, -1))
+
+        p, time_until = self._rho_time_until(preds, yy)
 
         loss = jnp.where(jnp.isnan(loss), 9999.9, loss)
         loss_full = jnp.where(jnp.isnan(loss_full), 9999.9, loss_full)
-        return {
+        metrics = {
             "loss_avg": loss,
             "loss": loss_full,
             "time_until": time_until,
@@ -276,10 +285,27 @@ class Grid2DMarkovRoutine(Routine):
             "correlations": p,
             "step_losses": step_losses,
         }
+        if corr_yy is not None:
+            from ..utils.spectral import downsample_vorticity
+
+            corr_size = corr_yy.shape[1]
+            if preds.shape[1] != corr_size:
+                preds_2 = downsample_vorticity(preds, corr_size, self.domain)
+            else:
+                preds_2 = preds
+            p_2, reduced_time_until = self._rho_time_until(preds_2, corr_yy)
+            metrics["reduced_time_until"] = reduced_time_until
+            metrics["reduced_corr"] = p_2.mean()
+            metrics["reduced_correlations"] = p_2
+        return metrics
 
     def valid_step(self, state: TrainState, batch):
         preds, step_losses, yy = self.rollout(state, batch)
-        return self.compute_losses(preds, step_losses, yy)
+        corr_yy = None
+        if "corr_data" in batch:
+            # Same trailing-horizon slice as the rollout targets.
+            corr_yy = batch["corr_data"][..., -preds.shape[-1]:]
+        return self.compute_losses(preds, step_losses, yy, corr_yy)
 
     def save_predictions(self, preds, times=None, path=None):
         """Dump rollout predictions with velocities, spectrally downsampled

@@ -290,6 +290,12 @@ def main():
                 valid_time_until=round(float(val["time_until"]), 3),
             )
             rec["correlations"] = [round(float(c), 4) for c in np.asarray(val["correlations"])]
+            if "reduced_time_until" in val:
+                # Reference protocol: rho against the independently-solved
+                # 32^2 trajectory (grid_2d_markov.py:353-370).
+                rec["valid_corr_rho32"] = round(float(val["reduced_corr"]), 4)
+                rec["valid_reduced_time_until"] = round(
+                    float(val["reduced_time_until"]), 3)
         save_state(ckpt, state)
         with open(meta_path, "w") as f:
             json.dump({"epoch": epoch}, f)

@@ -404,3 +404,51 @@ def test_graft_entry_dryrun_multichip():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_reduced_resolution_correlation_metric():
+    """Reference protocol (grid_2d_markov.py:353-370): rollout predictions
+    are spectrally downsampled to the corr trajectory's grid (32^2 for
+    Kolmogorov) and correlated against it, yielding reduced_time_until."""
+    from fourierflow_tpu.utils.spectral import downsample_vorticity
+
+    routine = _markov_routine(n_steps=4)
+    rng = np.random.RandomState(0)
+    b, s, t = 2, 32, 4
+    preds = np.asarray(rng.randn(b, s, s, t), np.float32)
+    yy = preds + 0.01 * np.asarray(rng.randn(b, s, s, t), np.float32)
+    step_losses = np.zeros((t,), np.float32)
+
+    # corr trajectory = exact downsample of preds -> rho_2(t) == 1.
+    corr_yy = np.asarray(jax.jit(lambda p: downsample_vorticity(p, 16))(preds))
+    m = routine.compute_losses(preds, step_losses, yy, corr_yy)
+    assert m["reduced_correlations"].shape == (t,)
+    np.testing.assert_allclose(np.asarray(m["reduced_correlations"]), 1.0, atol=1e-5)
+    assert float(m["reduced_time_until"]) == t * routine.step_size
+
+    # same-size corr data: no downsampling, plain correlation against it.
+    m_same = routine.compute_losses(preds, step_losses, yy, preds.copy())
+    np.testing.assert_allclose(np.asarray(m_same["reduced_correlations"]), 1.0,
+                               atol=1e-6)
+
+    # decorrelated corr trajectory -> early reduced divergence while the
+    # full-resolution metric stays healthy.
+    corr_bad = np.asarray(rng.randn(b, 16, 16, t), np.float32)
+    m_bad = routine.compute_losses(preds, step_losses, yy, corr_bad)
+    assert float(m_bad["reduced_time_until"]) == 0.0
+    assert float(m_bad["time_until"]) == t * routine.step_size
+
+    # valid_step plumbs batch['corr_data'] through (trailing-horizon slice),
+    # jitted as the trainer/campaign use it.
+    routine2 = _markov_routine(n_steps=3)
+    data = np.asarray(rng.randn(b, 16, 16, 6), np.float32)
+    corr = np.asarray(rng.randn(b, 8, 8, 6), np.float32)
+    state = routine2.init(
+        jax.random.PRNGKey(0), {"x": data[..., 0][..., None], "y": data[..., 1][..., None]}
+    )
+    state = routine2.accumulate_step(
+        state, {"x": data[..., 0][..., None], "y": data[..., 1][..., None]}
+    )
+    val = jax.jit(routine2.valid_step)(state, {"data": data, "corr_data": corr})
+    assert val["reduced_correlations"].shape == (3,)
+    assert np.isfinite(float(val["reduced_time_until"]))
