@@ -30,6 +30,34 @@ from fourierflow_tpu.schedulers import cosine_with_warmup
 
 BASELINE_STEPS_PER_SEC = 10.0  # estimated torch A100 (see module docstring)
 
+# TPU v5e (the chip behind the axon tunnel): 197 TFLOP/s peak bf16 MXU.
+PEAK_FLOPS = 197e12
+
+
+def flops_per_train_step(batch, n, width, modes, n_layers, factor, input_dim):
+    """Analytic matmul FLOPs of one flagship train step (fwd + bwd + update,
+    bwd counted as 2x fwd — the standard rule for linear layers).
+
+    Counts the ops of ops/spectral.py::spectral_mix_axis (3 matmuls per
+    branch: truncated rDFT [n, 2M], per-mode 2Cx2C block mixing, inverse
+    [2M, n]) plus the backcast FeedForward and the input/output heads.
+    Elementwise work (residuals, normalizer, noise, loss, AdamW) is
+    excluded — it is bandwidth-, not FLOPs-bound.
+    """
+    m2 = 2 * modes
+    c2 = 2 * width
+    rows = batch * n  # per branch: batch x the non-transformed spatial axis
+    dft_f = 2 * rows * width * n * m2        # x[B,X,n,C] @ basis[n,2M]
+    mix_f = 2 * rows * modes * c2 * c2       # per-mode [rows,2C] @ [2C,2C]
+    inv_f = 2 * rows * width * m2 * n        # y[...,2M,C] @ basis[2M,n]
+    spectral = 2 * (dft_f + mix_f + inv_f)   # two separable branches
+    px = batch * n * n
+    ff = 2 * px * width * (factor * width) * 2   # C -> 4C -> C
+    per_layer = spectral + ff
+    head = 2 * px * (input_dim * width + width * 128 + 128 * 1)
+    fwd = n_layers * per_layer + head
+    return 3 * fwd
+
 
 def main():
     batch, n = 19, 64
@@ -87,6 +115,10 @@ def main():
     elapsed = time.perf_counter() - t0
     steps_per_sec = n_epochs * n_batches / elapsed
 
+    flops = flops_per_train_step(
+        batch=batch, n=n, width=64, modes=16, n_layers=24, factor=4, input_dim=3
+    )
+    mfu = steps_per_sec * flops / PEAK_FLOPS
     print(
         json.dumps(
             {
@@ -94,6 +126,8 @@ def main():
                 "value": round(steps_per_sec, 3),
                 "unit": "steps/s",
                 "vs_baseline": round(steps_per_sec / BASELINE_STEPS_PER_SEC, 3),
+                "mfu": round(mfu, 4),
+                "flops_per_step": flops,
             }
         )
     )

@@ -77,6 +77,37 @@ def irdft_basis(n: int, modes: int, norm: str = "ortho", dtype: str = "float32")
 
 
 @functools.lru_cache(maxsize=128)
+def rdft_basis_interleaved(n: int, modes: int, norm: str = "ortho",
+                           dtype: str = "float32"):
+    """``[n, 2*modes]`` forward basis with columns mode-major interleaved:
+    column 2m is Re of mode m, column 2m+1 is Im.
+
+    With this ordering, regrouping the spectrum ``[..., 2M, C]`` into the
+    per-mode packed form ``[..., M, 2C]`` (real block then imag block per
+    mode, as the 2Cx2C block weights expect) is a CONTIGUOUS reshape —
+    with the block ordering of :func:`rdft_basis` it is a lane concat,
+    i.e. a real HBM copy on TPU."""
+    er, ei = rdft_basis(n, modes, norm=norm, dtype=dtype)
+    out = np.empty((n, 2 * modes), dtype)
+    out[:, 0::2] = er
+    out[:, 1::2] = ei
+    return out
+
+
+@functools.lru_cache(maxsize=128)
+def irdft_basis_interleaved(n: int, modes: int, norm: str = "ortho",
+                            dtype: str = "float32"):
+    """``[2*modes, n]`` inverse basis with rows mode-major interleaved
+    (row 2m = Re weights of mode m, row 2m+1 = Im); the dual of
+    :func:`rdft_basis_interleaved`."""
+    cr, ci = irdft_basis(n, modes, norm=norm, dtype=dtype)
+    out = np.empty((2 * modes, n), dtype)
+    out[0::2] = cr
+    out[1::2] = ci
+    return out
+
+
+@functools.lru_cache(maxsize=128)
 def cdft_basis(n: int, inverse: bool = False, dtype: str = "float32"):
     """Full complex-DFT matrices ``(Fr, Fi)``, each ``[n, n]``, such that
     for complex z the (i)fft along an axis is ``z @ (Fr + i*Fi)``.
