@@ -75,10 +75,21 @@ def main(argv=None):
     p_sample.add_argument("--out-path", default=None)
 
     p_plot = sub.add_parser("plot", help="figures/tables from local run logs")
-    p_plot.add_argument("kind", choices=["layers", "correlation", "table", "heatmap"])
+    p_plot.add_argument(
+        "kind",
+        choices=["layers", "correlation", "step-losses", "parameters",
+                 "table", "heatmap"],
+    )
+    p_plot.add_argument(
+        "dataset", nargs="?", default=None,
+        help="for 'table': one of torus_li/airfoil/elasticity/plasticity/"
+             "pipe -> the paper's Table A.3-A.6 layout",
+    )
     p_plot.add_argument("--root", default="configs")
     p_plot.add_argument("--sample-path", default=None)
     p_plot.add_argument("--out-path", default=None)
+    p_plot.add_argument("--latex", action="store_true",
+                        help="emit the reference's LaTeX rows for tables")
 
     p_conv = sub.add_parser("convert", help="convert meshgraphnets TFRecords to HDF5")
     conv_sub = p_conv.add_subparsers(dest="converter", required=True)
@@ -143,9 +154,16 @@ def main(argv=None):
         if args.kind == "heatmap":
             plot_mod.heatmap(args.sample_path)
         elif args.kind == "table":
-            plot_mod.table(args.root, out_path=args.out_path)
+            plot_mod.table(args.root, out_path=args.out_path,
+                           dataset=args.dataset, latex=args.latex)
         elif args.kind == "layers":
             plot_mod.layers(args.root, out_path=args.out_path or "layers.png")
+        elif args.kind == "step-losses":
+            plot_mod.step_losses(args.root,
+                                 out_path=args.out_path or "step_losses.png")
+        elif args.kind == "parameters":
+            plot_mod.parameters(args.root,
+                                out_path=args.out_path or "parameters.png")
         else:
             plot_mod.correlation(args.root, out_path=args.out_path or "correlation.png")
     elif args.command == "convert":

@@ -5,26 +5,77 @@ deliberate design change: the reference pulls every number from the
 author's Weights & Biases account at plot time (plot.py:759-802), so its
 plots are irreproducible without that account. Here all numbers come from
 the ``metrics.jsonl`` files the JSONLogger callback writes into each run's
-checkpoint directory, so figures regenerate from local artifacts.
+checkpoint directory (``<group>/checkpoints/trial-{n}-{ts}/``), so every
+figure and table regenerates from local artifacts.
 
-Subcommands mirror the reference's figure families:
-  - ``layers``: test loss vs depth per experiment group (Fig. 3-style)
-  - ``correlation``: vorticity correlation rho(t) curves (Fig. 4-style)
-  - ``table``: final metrics per experiment as a markdown table (Tab. A.*)
-  - ``heatmap``: prediction/target vorticity heatmaps from a sample.pkl
+Coverage of the reference surface:
+  - ``table torus_li|airfoil|elasticity|plasticity|pipe`` — the paper's
+    Tables A.3-A.6 (reference plot.py:617-731): per model family x depth,
+    parameter count, N-MSE (%) mean/min/max over trials, train hours.
+    Emitted as markdown and (with --latex) the reference's LaTeX rows.
+  - ``table`` (no dataset) — generic final-metrics table over all runs.
+  - ``layers`` — N-MSE vs depth per family with min/max band (reference
+    plot_performance_vs_layer + plot_ablation, :854-918).
+  - ``correlation`` — vorticity correlation rho(t) curves incl. campaign
+    logs (reference plot_correlation_over_time, :173-254).
+  - ``step-losses`` — per-rollout-step N-MSE curves (reference
+    plot_step_loss_curves, :936-951).
+  - ``parameters`` — parameter count vs depth (reference plot_parameters,
+    :969-995).
+  - ``heatmap`` — prediction/target vorticity fields from a sample.pkl
+    (reference heatmaps, :596-614).
 """
 
 import glob
 import json
 import logging
 import os
+import re
 from typing import List, Optional
 
 import numpy as np
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["collect_runs", "layers", "correlation", "table", "heatmap"]
+__all__ = [
+    "collect_runs",
+    "collect_groups",
+    "layers",
+    "correlation",
+    "step_losses",
+    "parameters",
+    "table",
+    "reference_table",
+    "heatmap",
+]
+
+# The reference's Tables A.3-A.6 (plot.py:617-731): rows are (display
+# name, registry family, depths). Registry families carry the reference's
+# exact group names (experiments.py).
+_LAYERS_SHORT = [4, 8, 12, 16, 20]
+_LAYERS_FULL = [4, 8, 12, 16, 20, 24]
+_GEO_ROWS = [
+    ("geo-FNO (reproduced)", "geo-fno", [4, 8, 12]),
+    ("F-FNO (with weight sharing)", "ffno-shared", _LAYERS_FULL),
+    ("F-FNO (without weight sharing)", "ffno", _LAYERS_FULL),
+]
+REFERENCE_TABLES = {
+    # Table A.3
+    "torus_li": [
+        ("FNO (reproduced)", "zongyi", _LAYERS_SHORT),
+        ("FNO-TF (FNO with teacher forcing)", "ablation/teacher_forcing", _LAYERS_SHORT),
+        ("FNO-M (FNO-TF with Markov assumption)", "ablation/zongyi_markov", _LAYERS_SHORT),
+        ("FNO-R (FNO-M with improved residuals)", "ablation/zongyi_markov_residual", _LAYERS_FULL),
+        ("FNO++ (FNO-R with bags of tricks)", "ablation/no_factorization", _LAYERS_FULL),
+        ("F-FNO (FNO++ with Fourier factorization)", "ablation/no_sharing", _LAYERS_FULL),
+        ("F-FNO-WS (F-FNO with weight sharing)", "markov", _LAYERS_FULL),
+    ],
+    # Tables A.4-A.6 share one structure
+    "airfoil": _GEO_ROWS,
+    "elasticity": _GEO_ROWS,
+    "plasticity": _GEO_ROWS,
+    "pipe": _GEO_ROWS,
+}
 
 
 def _read_metrics(run_dir: str):
@@ -36,14 +87,32 @@ def _read_metrics(run_dir: str):
 
 
 def collect_runs(root: str, pattern: str = "**/checkpoints/trial-*"):
-    """Find run dirs under `root` and load their logged metrics."""
+    """Find run dirs under `root` and load their logged metrics,
+    keyed by the run dir path relative to root."""
     runs = {}
     for run_dir in sorted(glob.glob(os.path.join(root, pattern), recursive=True)):
         records = _read_metrics(run_dir)
         if records:
-            rel = os.path.relpath(run_dir, root)
-            runs[rel] = records
+            runs[os.path.relpath(run_dir, root)] = records
     return runs
+
+
+def collect_groups(root: str):
+    """Group runs by experiment (the config dir above ``checkpoints/``),
+    mapping group -> {trial: records}."""
+    groups = {}
+    for rel, records in collect_runs(root).items():
+        parts = rel.split(os.sep)
+        # <group...>/checkpoints/trial-{n}-{ts}
+        try:
+            ci = parts.index("checkpoints")
+        except ValueError:
+            continue
+        group = "/".join(parts[:ci])
+        m = re.match(r"trial-(\d+)-", parts[ci + 1])
+        trial = int(m.group(1)) if m else 0
+        groups.setdefault(group, {})[trial] = records
+    return groups
 
 
 def _final_scalars(records):
@@ -55,10 +124,101 @@ def _final_scalars(records):
     return out
 
 
+def _group_summary(trials):
+    """Aggregate one experiment group over its trials the way the
+    reference's get_summary does (plot.py:759-802): N-MSE x100
+    mean/min/max, parameter count, mean train hours."""
+    losses, params, hours = [], [], []
+    extras = {}
+    for records in trials.values():
+        finals = _final_scalars(records)
+        loss = finals.get("test_loss", finals.get("valid_loss"))
+        if loss is not None:
+            losses.append(loss * 100.0)
+        if "n_params" in finals:
+            params.append(int(finals["n_params"]))
+        times = [r["time"] for r in records if "time" in r]
+        if len(times) >= 2:
+            hours.append((times[-1] - times[0]) / 3600.0)
+        for k in ("test_time_until", "valid_time_until", "test_corr"):
+            if k in finals:
+                extras.setdefault(k, []).append(finals[k])
+    if not losses:
+        return None
+    out = {
+        "n_trials": len(losses),
+        "nmse_mean": float(np.mean(losses)),
+        "nmse_min": float(np.min(losses)),
+        "nmse_max": float(np.max(losses)),
+        "n_params": params[0] if params else 0,
+        "train_hours": float(np.mean(hours)) if hours else float("nan"),
+    }
+    for k, v in extras.items():
+        out[k] = float(np.mean(v))
+    return out
+
+
+def reference_table(dataset: str, root: str = "configs",
+                    out_path: Optional[str] = None, latex: bool = False) -> str:
+    """One of the paper's Tables A.3-A.6 from local runs (reference
+    plot.py:617-731). Rows with no local results render as em-dashes so
+    the table shape always matches the reference's."""
+    if dataset not in REFERENCE_TABLES:
+        raise SystemExit(
+            f"unknown table {dataset!r}; one of {sorted(REFERENCE_TABLES)}")
+    groups = collect_groups(root)
+    lines = []
+    if not latex:
+        lines += [
+            f"### {dataset} (reference Table A.x layout)",
+            "| model | layers | params | N-MSE mean (%) | min | max | train h |",
+            "|---|---|---|---|---|---|---|",
+        ]
+    for display, family, depths in REFERENCE_TABLES[dataset]:
+        if latex:
+            lines.append(f"\\multirow{{{len(depths)}}}{{*}}{{{display}}}")
+        for d in depths:
+            group = f"{dataset}/{family}/{d}_layers"
+            s = _group_summary(groups.get(group, {}))
+            if latex:
+                if s is None:
+                    lines.append(f" & {d} & --- & --- & --- & --- & --- \\\\")
+                else:
+                    h = s["train_hours"]
+                    ht = "---" if np.isnan(h) else (f"{h:.1f}" if h < 1 else f"{h:.0f}")
+                    lines.append(
+                        f" & {d} & {s['n_params']:,} & {s['nmse_mean']:.2f} & "
+                        f"{s['nmse_min']:.2f} & {s['nmse_max']:.2f} &  {ht} \\\\")
+            else:
+                if s is None:
+                    lines.append(f"| {display} | {d} | — | — | — | — | — |")
+                else:
+                    h = s["train_hours"]
+                    ht = "—" if np.isnan(h) else f"{h:.2g}"
+                    lines.append(
+                        f"| {display} | {d} | {s['n_params']:,} | "
+                        f"{s['nmse_mean']:.2f} | {s['nmse_min']:.2f} | "
+                        f"{s['nmse_max']:.2f} | {ht} |")
+        if latex:
+            lines.append("\\midrule")
+    if latex and lines and lines[-1] == "\\midrule":
+        lines.pop()
+    text = "\n".join(lines)
+    if out_path:
+        with open(out_path, "w") as f:
+            f.write(text + "\n")
+        logger.info("wrote %s", out_path)
+    print(text)
+    return text
+
+
 def table(root: str = "configs", keys: Optional[List[str]] = None,
-          out_path: Optional[str] = None) -> str:
-    """Markdown table of final metrics per run (reference plot.py:617-731
-    rebuilt from local logs)."""
+          out_path: Optional[str] = None, dataset: Optional[str] = None,
+          latex: bool = False) -> str:
+    """With ``dataset``: the corresponding reference table (A.3-A.6).
+    Without: a generic markdown table of final metrics per run."""
+    if dataset:
+        return reference_table(dataset, root, out_path=out_path, latex=latex)
     runs = collect_runs(root)
     keys = keys or ["test_loss", "valid_loss", "test_time_until", "train_loss"]
     lines = ["| run | " + " | ".join(keys) + " |",
@@ -75,56 +235,122 @@ def table(root: str = "configs", keys: Optional[List[str]] = None,
     return text
 
 
-def layers(root: str = "configs", metric: str = "test_loss",
-           out_path: str = "layers.png"):
-    """Metric vs layer count, one series per experiment family."""
-    runs = collect_runs(root)
+def _depth_series(root, value_fn):
+    """{family: [(depth, value)]} over all `<family>/<d>_layers` groups."""
     series = {}
-    for name, records in runs.items():
-        finals = _final_scalars(records)
-        if metric not in finals:
+    for group, trials in collect_groups(root).items():
+        m = re.match(r"(.+)/(\d+)_layers$", group)
+        if not m:
             continue
-        parts = name.split(os.sep)
-        depth = next((p for p in parts if p.endswith("_layers")), None)
-        if depth is None:
+        v = value_fn(trials)
+        if v is None:
             continue
-        family = os.sep.join(p for p in parts if not p.endswith("_layers"))[:60]
-        series.setdefault(family, []).append((int(depth.split("_")[0]), finals[metric]))
+        series.setdefault(m.group(1), []).append((int(m.group(2)), v))
+    return {k: sorted(v) for k, v in series.items()}
+
+
+def _pyplot():
     try:
         import matplotlib
 
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
+
+        return plt
     except ImportError:
+        return None
+
+
+def layers(root: str = "configs", metric: str = "test_loss",
+           out_path: str = "layers.png"):
+    """N-MSE (%) vs depth per family, mean line + min/max band over trials
+    (reference plot_performance_vs_layer / plot_ablation, plot.py:854-918)."""
+
+    def stats(trials):
+        s = _group_summary(trials)
+        if s is None:
+            return None
+        return (s["nmse_mean"], s["nmse_min"], s["nmse_max"])
+
+    series = _depth_series(root, stats)
+    plt = _pyplot()
+    if plt is None:
         print(json.dumps(series, indent=2, default=float))
         return series
     fig, ax = plt.subplots(figsize=(5, 4))
     for family, pts in sorted(series.items()):
-        pts = sorted(pts)
-        ax.plot([p[0] for p in pts], [p[1] for p in pts], marker="o", label=family)
-    ax.set_xlabel("layers")
-    ax.set_ylabel(metric)
+        xs = [p[0] for p in pts]
+        mean = [p[1][0] for p in pts]
+        lo = [p[1][1] for p in pts]
+        hi = [p[1][2] for p in pts]
+        (line,) = ax.plot(xs, mean, marker="o", label=family[:50])
+        ax.fill_between(xs, lo, hi, alpha=0.15, color=line.get_color())
+    ax.set_xlabel("Number of layers")
+    ax.set_ylabel("Normalized MSE (%)")
     ax.set_yscale("log")
+    ax.set_xticks([0, 4, 8, 12, 16, 20, 24])
     ax.legend(fontsize=6)
     fig.savefig(out_path, bbox_inches="tight", dpi=120)
     logger.info("wrote %s", out_path)
     return out_path
 
 
-def correlation(root: str = "configs", out_path: str = "correlation.png"):
-    """rho(t) curves from logged per-time correlations."""
-    runs = collect_runs(root)
-    curves = {}
-    for name, records in runs.items():
-        for rec in records:
-            if isinstance(rec.get("test_correlations"), list):
-                curves[name] = (rec.get("test_times"), rec["test_correlations"])
-    try:
-        import matplotlib
+def parameters(root: str = "configs", out_path: str = "parameters.png"):
+    """Parameter count vs depth per family (reference plot_parameters,
+    plot.py:969-995)."""
 
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-    except ImportError:
+    def count(trials):
+        s = _group_summary(trials)
+        return s["n_params"] if s and s["n_params"] else None
+
+    series = _depth_series(root, count)
+    plt = _pyplot()
+    if plt is None:
+        print(json.dumps(series, indent=2, default=float))
+        return series
+    fig, ax = plt.subplots(figsize=(5, 4))
+    for family, pts in sorted(series.items()):
+        ax.plot([p[0] for p in pts], [p[1] for p in pts], marker="o",
+                label=family[:50])
+    ax.set_xlabel("Number of layers")
+    ax.set_ylabel("Parameter count")
+    ax.set_yscale("log")
+    ax.set_xticks([0, 4, 8, 12, 16, 20, 24])
+    ax.legend(fontsize=6)
+    fig.savefig(out_path, bbox_inches="tight", dpi=120)
+    logger.info("wrote %s", out_path)
+    return out_path
+
+
+def _correlation_curves(root):
+    """rho(t) per run from trainer logs AND quality-campaign logs."""
+    curves = {}
+    for name, records in collect_runs(root).items():
+        for rec in records:
+            for key, tkey in (("test_correlations", "test_times"),
+                              ("valid_correlations", "valid_times")):
+                if isinstance(rec.get(key), list):
+                    curves[name] = (rec.get(tkey), rec[key])
+    # quality_campaign logs (scripts/quality_campaign.py)
+    for path in sorted(glob.glob(os.path.join(root, "**/campaign_log.jsonl"),
+                                 recursive=True)):
+        with open(path) as f:
+            last = None
+            for line in f:
+                rec = json.loads(line)
+                if isinstance(rec.get("correlations"), list):
+                    last = rec["correlations"]
+        if last:
+            curves[os.path.relpath(path, root)] = (None, last)
+    return curves
+
+
+def correlation(root: str = "configs", out_path: str = "correlation.png"):
+    """rho(t) curves from logged per-time correlations (reference
+    plot_correlation_over_time, plot.py:173-254)."""
+    curves = _correlation_curves(root)
+    plt = _pyplot()
+    if plt is None:
         print(json.dumps(curves, indent=2, default=float))
         return curves
     fig, ax = plt.subplots(figsize=(5, 4))
@@ -140,8 +366,33 @@ def correlation(root: str = "configs", out_path: str = "correlation.png"):
     return out_path
 
 
+def step_losses(root: str = "configs", out_path: str = "step_losses.png"):
+    """Per-rollout-step N-MSE (%) curves (reference plot_step_loss_curves,
+    plot.py:936-951)."""
+    curves = {}
+    for name, records in collect_runs(root).items():
+        for rec in records:
+            for key in ("test_step_losses", "valid_step_losses"):
+                if isinstance(rec.get(key), list):
+                    curves[name] = rec[key]
+    plt = _pyplot()
+    if plt is None:
+        print(json.dumps(curves, indent=2, default=float))
+        return curves
+    fig, ax = plt.subplots(figsize=(5, 4))
+    for name, ls in sorted(curves.items()):
+        ax.plot(range(1, len(ls) + 1), np.asarray(ls) * 100.0, label=name[:50])
+    ax.set_xlabel("Rollout step")
+    ax.set_ylabel("Normalized MSE (%)")
+    ax.legend(fontsize=6)
+    fig.savefig(out_path, bbox_inches="tight", dpi=120)
+    logger.info("wrote %s", out_path)
+    return out_path
+
+
 def heatmap(sample_path: str, step: int = -1, out_prefix: str = "field"):
-    """Prediction vs target heatmaps from a ``sample`` command pickle."""
+    """Prediction vs target heatmaps from a ``sample`` command pickle
+    (reference heatmaps, plot.py:596-614)."""
     import pickle
 
     from ..viz.heatmap import log_imshow
