@@ -67,6 +67,10 @@ def main(argv=None):
     p_infer = sub.add_parser("infer", help="jitted rollout inference benchmark")
     _add_common(p_infer)
     p_infer.add_argument("--checkpoint-path", default=None)
+    p_infer.add_argument(
+        "--torch-checkpoint", default=None,
+        help="reference (PyTorch Lightning) .ckpt to import instead of a "
+             "native checkpoint (ref commands/infer.py:91-143)")
     p_infer.add_argument("--n-steps", type=int, default=100)
 
     p_sample = sub.add_parser("sample", help="pickle one (batch, pred) pair")
@@ -142,7 +146,8 @@ def main(argv=None):
         from .infer import main as infer_main
 
         infer_main(args.config_path, args.checkpoint_path,
-                   overrides=args.overrides, n_steps=args.n_steps, trial=args.trial)
+                   overrides=args.overrides, n_steps=args.n_steps,
+                   trial=args.trial, torch_checkpoint=args.torch_checkpoint)
     elif args.command == "sample":
         from .sample import main as sample_main
 

@@ -30,6 +30,7 @@ def main(
     overrides: Optional[List[str]] = None,
     n_steps: int = 100,
     trial: int = 0,
+    torch_checkpoint: Optional[str] = None,
 ):
     cfg = load_config(config_path, overrides)
     builder = instantiate(cfg["builder"])
@@ -41,6 +42,10 @@ def main(
         from ..trainers.callbacks import load_state
 
         state = load_state(checkpoint_path, state)
+    if torch_checkpoint:
+        from ..utils.torch_import import import_reference_checkpoint
+
+        state = import_reference_checkpoint(torch_checkpoint, state)
 
     # Evaluation trajectories [b, X, Y, T]; if shorter than the requested
     # rollout, tile the first frame as dummy targets (pure timing mode).
