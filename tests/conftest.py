@@ -19,4 +19,18 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# Persistent compilation cache: the suite is compile-dominated on a
+# single-core host (~11 min cold), and most of that is re-compiling the
+# same integration-test programs every run. Cache XLA executables on disk
+# so repeated runs (the per-commit gate) skip compilation entirely.
+# Override the location with FOURIERFLOW_TEST_JAX_CACHE; delete the
+# directory to force a cold run.
+_cache_dir = os.environ.get(
+    "FOURIERFLOW_TEST_JAX_CACHE",
+    os.path.join(os.path.dirname(__file__), ".jax_cache"),
+)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 assert jax.devices()[0].platform == "cpu"
