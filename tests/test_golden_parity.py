@@ -62,10 +62,24 @@ def _oracle_mix(x, wy, wx, modes):
     return br_x + br_y
 
 
-def _oracle_forward(params, x, n_layers, modes, share_weight):
+def _oracle_out_head(p, h):
+    # The output head's WNLinears are registered at block level
+    # (flax Sequential over pre-built children does not add a scope).
+    for k in ("WNLinear_0", "WNLinear_1"):
+        kern, bias = _eff(p[k])
+        h = h @ kern + bias
+    return h
+
+
+def _oracle_forward(params, x, n_layers, modes, share_weight, use_fork=False):
+    """Reference FNOFactorized2DBlock.forward (grid_2d.py:154-177): with
+    use_fork each layer's forecast branch goes through the shared output
+    head and the per-layer outputs accumulate; without it the head applies
+    to the LAST backcast only."""
     p = params["params"]
     x = x @ _eff(p["in_proj"])[0] + _eff(p["in_proj"])[1]
     b = x
+    forecast = 0.0
     for i in range(n_layers):
         if share_weight:
             wy = np.asarray(p["fourier_weight_y"])
@@ -76,23 +90,30 @@ def _oracle_forward(params, x, n_layers, modes, share_weight):
         h = _oracle_mix(x, jnp.asarray(wy), jnp.asarray(wx), modes)
         ff = p[f"layers_{i}_backcast_ff"] if f"layers_{i}_backcast_ff" in p else p["backcast_ff"]
         b = _oracle_ff(_eff(ff["WNLinear_0"]), _eff(ff["WNLinear_1"]), h)
+        if use_fork:
+            fff = (
+                p[f"layers_{i}_forecast_ff"]
+                if f"layers_{i}_forecast_ff" in p
+                else p["forecast_ff"]
+            )
+            f = _oracle_ff(_eff(fff["WNLinear_0"]), _eff(fff["WNLinear_1"]), h)
+            forecast = forecast + _oracle_out_head(p, f)
         x = x + b
-    # The output head's WNLinears are registered at block level
-    # (flax Sequential over pre-built children does not add a scope).
-    h = b
-    for k in ("WNLinear_0", "WNLinear_1"):
-        kern, bias = _eff(p[k])
-        h = h @ kern + bias
-    return h
+    if not use_fork:
+        forecast = _oracle_out_head(p, b)
+    return forecast
 
 
-def _run_parity(share_weight, ff_weight_norm, n_layers=3, grid=64):
+def _run_parity(share_weight, ff_weight_norm, n_layers=3, grid=64,
+                use_fork=False, share_fork=False):
     model = FNOFactorized2DBlock(
         modes=8,
         width=16,
         input_dim=3,
         n_layers=n_layers,
         share_weight=share_weight,
+        share_fork=share_fork,
+        use_fork=use_fork,
         factor=2,
         ff_weight_norm=ff_weight_norm,
         gain=0.5,
@@ -101,7 +122,7 @@ def _run_parity(share_weight, ff_weight_norm, n_layers=3, grid=64):
     x = jnp.asarray(rng.randn(2, grid, grid, 3).astype(np.float32))
     params = model.init(jax.random.PRNGKey(0), x)
     got = model.apply(params, x)["forecast"]
-    want = _oracle_forward(params, x, n_layers, 8, share_weight)
+    want = _oracle_forward(params, x, n_layers, 8, share_weight, use_fork)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
     )
@@ -121,3 +142,18 @@ def test_golden_parity_single_layer_values():
     """One layer at 64^2: tightest check of the spectral reformulation
     (truncated-DFT matmuls + packed mixing vs complex FFT einsums)."""
     _run_parity(share_weight=True, ff_weight_norm=True, n_layers=1)
+
+
+def test_golden_parity_fork():
+    """use_fork: per-layer forecast branches through the shared output
+    head, accumulated (reference grid_2d.py:160-170)."""
+    _run_parity(share_weight=False, ff_weight_norm=True, grid=32, use_fork=True)
+
+
+def test_golden_parity_fork_shared():
+    """share_fork + use_fork: ONE backcast/forecast FeedForward reused by
+    every layer (reference grid_2d.py:118-124)."""
+    _run_parity(
+        share_weight=True, ff_weight_norm=False, grid=32,
+        use_fork=True, share_fork=True,
+    )
