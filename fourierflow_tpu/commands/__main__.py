@@ -38,6 +38,9 @@ def main(argv=None):
     _add_common(p_test)
     p_test.add_argument("--checkpoint-path", default=None,
                         help="defaults to the newest trial checkpoint")
+    p_test.add_argument(
+        "--torch-checkpoint", default=None,
+        help="reference (PyTorch Lightning) .ckpt to evaluate instead")
 
     p_predict = sub.add_parser("predict", help="inference timing benchmark")
     p_predict.add_argument("config_path", nargs="?", default=None,
@@ -137,7 +140,8 @@ def main(argv=None):
     elif args.command == "test":
         from .test import main as test_main
 
-        test_main(args.config_path, args.checkpoint_path, overrides=args.overrides, trial=args.trial)
+        test_main(args.config_path, args.checkpoint_path, overrides=args.overrides,
+                  trial=args.trial, torch_checkpoint=args.torch_checkpoint)
     elif args.command == "predict":
         from .predict import main as predict_main
 

@@ -32,16 +32,24 @@ def find_checkpoint(config_path: str, trial: int) -> str:
     )
 
 
-def main(config_path, checkpoint_path=None, overrides=None, trial: int = 0):
+def main(config_path, checkpoint_path=None, overrides=None, trial: int = 0,
+         torch_checkpoint=None):
     cfg = load_config(config_path, overrides)
     seed = 7231 + trial
-    if checkpoint_path is None:
+    if checkpoint_path is None and torch_checkpoint is None:
         checkpoint_path = find_checkpoint(config_path, trial)
         logger.info("using checkpoint %s", checkpoint_path)
     builder = instantiate(cfg["builder"])
     routine = build_routine(cfg["routine"], builder)
     template = routine.init(jax.random.PRNGKey(seed), builder.sample_batch())
-    state = load_state(checkpoint_path, template)
+    if torch_checkpoint is not None:
+        # Reference Lightning checkpoint (the reference's test command
+        # evaluates lightning .ckpt files directly, ref commands/test.py:51-60).
+        from ..utils.torch_import import import_reference_checkpoint
+
+        state = import_reference_checkpoint(torch_checkpoint, template)
+    else:
+        state = load_state(checkpoint_path, template)
     trainer = build_trainer(cfg.get("trainer"))
     logs = trainer.test(routine, builder, state)
     logger.info("test logs: %s", {k: v for k, v in logs.items() if np.ndim(v) == 0})

@@ -10,6 +10,10 @@ jax.config, not just the env var.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The persistent-cache AOT loader logs a full ISA-feature dump whenever a
+# cached executable was compiled under slightly different tuning prefs
+# (prefer-no-scatter/gather) — harmless, but it drowns test output.
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

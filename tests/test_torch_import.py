@@ -149,6 +149,50 @@ def test_import_into_train_state(ckpt_path):
     )
 
 
+def test_cli_test_with_torch_checkpoint(ckpt_path, tmp_path):
+    """`test --torch-checkpoint ref.ckpt` evaluates a reference Lightning
+    checkpoint end to end (the reference's test command consumes lightning
+    .ckpt files directly, ref commands/test.py:51-60)."""
+    import os
+
+    import h5py
+    import yaml
+
+    from fourierflow_tpu.commands.test import main as test_main
+
+    rng = np.random.RandomState(0)
+    flat = str(tmp_path / "ns_flat.h5")
+    with h5py.File(flat, "w") as f:
+        f.create_dataset("u", data=rng.randn(12, 16, 16, 10).astype(np.float32))
+
+    cfg = {
+        "builder": {
+            "_target_": "fourierflow_tpu.builders.NSMarkovBuilder",
+            "data_path": flat,
+            "train_size": 8, "test_size": 4, "ssr": 1, "batch_size": 4,
+        },
+        "routine": {
+            "_target_": "fourierflow_tpu.routines.Grid2DMarkovRoutine",
+            "conv": {
+                "_target_": "fourierflow_tpu.models.FNOFactorized2DBlock",
+                "modes": MODES, "width": WIDTH, "input_dim": IN_DIM,
+                "n_layers": N_LAYERS, "share_weight": True,
+                "factor": FACTOR, "ff_weight_norm": True,
+            },
+            "n_steps": 4,
+            "max_accumulations": 100,
+        },
+        "trainer": {"max_epochs": 1},
+    }
+    cfg_path = str(tmp_path / "exp" / "config.yaml")
+    os.makedirs(os.path.dirname(cfg_path))
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    logs = test_main(cfg_path, torch_checkpoint=ckpt_path)
+    assert np.isfinite(logs["test_loss"])
+
+
 def test_mismatched_checkpoint_rejected(ckpt_path, tmp_path):
     sd = load_reference_state_dict(ckpt_path)
     # Wrong width: model expects WIDTH=8, checkpoint says 16.
