@@ -55,6 +55,8 @@ logger = logging.getLogger(__name__)
 __all__ = [
     "load_reference_state_dict",
     "convert_ffno_state_dict",
+    "convert_zongyi_state_dict",
+    "convert_reference_state_dict",
     "import_reference_checkpoint",
 ]
 
@@ -189,6 +191,62 @@ def convert_ffno_state_dict(
     return {"params": p}, norm
 
 
+def convert_zongyi_state_dict(
+    sd: Dict[str, np.ndarray], prefix: str = "conv."
+) -> Tuple[Dict[str, Any], Optional[Dict[str, np.ndarray]]]:
+    """Map a reference FNOZongyi2DBlock state_dict (torch naming from
+    reference:fourierflow/modules/zongyi_fno/grid_2d.py:16-119) to this
+    framework's flax tree:
+
+    in_proj / spectral_layers.{i}.{linear,fourier_weight.0/1} /
+    feedforward.{0,2}  →  in_proj / layers_{i}.{linear,fourier_weight_1/2}
+    / WNLinear_{0,1}. Fourier weights [i,o,m,m,2] transfer verbatim.
+    """
+    sd = {k[len(prefix):] if k.startswith(prefix) else k: v for k, v in sd.items()}
+    p: Dict[str, Any] = {"in_proj": _linear(sd, "in_proj")}
+    i = 0
+    while f"spectral_layers.{i}.linear.weight" in sd:
+        p[f"layers_{i}"] = {
+            "fourier_weight_1": sd[f"spectral_layers.{i}.fourier_weight.0"].copy(),
+            "fourier_weight_2": sd[f"spectral_layers.{i}.fourier_weight.1"].copy(),
+            "linear": _linear(sd, f"spectral_layers.{i}.linear"),
+        }
+        i += 1
+    if i == 0:
+        raise ValueError("No spectral_layers.*.linear entries — not a Zongyi FNO checkpoint")
+    p["WNLinear_0"] = _linear(sd, "feedforward.0")
+    p["WNLinear_1"] = _linear(sd, "feedforward.2")
+
+    norm = None
+    if "normalizer.sum" in sd:
+        norm = {
+            "sum": sd["normalizer.sum"].copy(),
+            "sum_squared": sd["normalizer.sum_squared"].copy(),
+            "count": np.asarray(sd["normalizer.count"], np.float32).reshape(()),
+        }
+    logger.info("Converted reference Zongyi checkpoint: %d layers", i)
+    return {"params": p}, norm
+
+
+def convert_reference_state_dict(
+    sd: Dict[str, np.ndarray], prefix: str = "conv."
+) -> Tuple[Dict[str, Any], Optional[Dict[str, np.ndarray]]]:
+    """Auto-detect the reference model family and convert.
+
+    F-FNO checkpoints carry ``spectral_layers.{i}.backcast_ff`` modules;
+    Zongyi checkpoints carry ``spectral_layers.{i}.linear`` instead.
+    """
+    stripped = {k[len(prefix):] if k.startswith(prefix) else k for k in sd}
+    if any(".backcast_ff." in k or k.startswith("out.") for k in stripped):
+        return convert_ffno_state_dict(sd, prefix)
+    if any(".linear." in k and k.startswith("spectral_layers.") for k in stripped):
+        return convert_zongyi_state_dict(sd, prefix)
+    raise ValueError(
+        "Unrecognized reference checkpoint — neither FNOFactorized2DBlock "
+        f"nor FNOZongyi2DBlock naming (keys: {sorted(stripped)[:8]}...)"
+    )
+
+
 def _check_tree_match(got: Dict[str, Any], want: Dict[str, Any]):
     def flat(tree):
         leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
@@ -220,7 +278,7 @@ def import_reference_checkpoint(path: str, state):
     infer.py converts weights only).
     """
     sd = load_reference_state_dict(path)
-    variables, norm = convert_ffno_state_dict(sd)
+    variables, norm = convert_reference_state_dict(sd)
     params = variables["params"]
     _check_tree_match(params, state.params["params"] if "params" in state.params else state.params)
     new_params = {"params": params} if "params" in state.params else params

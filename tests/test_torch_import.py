@@ -193,6 +193,57 @@ def test_cli_test_with_torch_checkpoint(ckpt_path, tmp_path):
     assert np.isfinite(logs["test_loss"])
 
 
+def test_zongyi_import_matches_model_tree():
+    """FNOZongyi2DBlock checkpoints (reference zongyi_fno/grid_2d.py torch
+    naming) auto-detect and convert; fourier weights transfer verbatim and
+    plain-Linear kernels transpose into flax layout."""
+    from fourierflow_tpu.models import FNOZongyi2DBlock
+    from fourierflow_tpu.utils.torch_import import convert_reference_state_dict
+
+    rng = np.random.RandomState(5)
+    width, modes, n_layers, in_dim = 6, 3, 2, 4
+    sd = {}
+
+    def lin(base, i, o):
+        sd[f"{base}.weight"] = _t(rng, o, i)
+        sd[f"{base}.bias"] = _t(rng, o)
+
+    lin("conv.in_proj", in_dim, width)
+    for i in range(n_layers):
+        sd[f"conv.spectral_layers.{i}.fourier_weight.0"] = _t(rng, width, width, modes, modes, 2)
+        sd[f"conv.spectral_layers.{i}.fourier_weight.1"] = _t(rng, width, width, modes, modes, 2)
+        lin(f"conv.spectral_layers.{i}.linear", width, width)
+    lin("conv.feedforward.0", width, 128)
+    lin("conv.feedforward.2", 128, 1)
+    sd_np = {k: np.asarray(v) for k, v in sd.items()}
+
+    variables, norm = convert_reference_state_dict(sd_np)
+    assert norm is None
+
+    model = FNOZongyi2DBlock(modes1=modes, modes2=modes, width=width,
+                             input_dim=in_dim, n_layers=n_layers, dropout=0.0)
+    x = jnp.zeros((1, 12, 12, in_dim))
+    init = model.init(jax.random.PRNGKey(0), x)
+    want = jax.tree_util.tree_map(lambda a: a.shape, init)
+    got = jax.tree_util.tree_map(lambda a: np.shape(a), variables)
+    assert jax.tree_util.tree_structure(got) == jax.tree_util.tree_structure(want)
+    assert jax.tree_util.tree_leaves(got) == jax.tree_util.tree_leaves(want)
+
+    np.testing.assert_allclose(
+        variables["params"]["layers_0"]["fourier_weight_1"],
+        sd_np["conv.spectral_layers.0.fourier_weight.0"],
+    )
+    np.testing.assert_allclose(
+        variables["params"]["in_proj"]["kernel"], sd_np["conv.in_proj.weight"].T
+    )
+
+    # Converted weights run through the model.
+    out = model.apply(jax.tree.map(jnp.asarray, variables), x)
+    if isinstance(out, dict):
+        out = out["forecast"]
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_mismatched_checkpoint_rejected(ckpt_path, tmp_path):
     sd = load_reference_state_dict(ckpt_path)
     # Wrong width: model expects WIDTH=8, checkpoint says 16.
