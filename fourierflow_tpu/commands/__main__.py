@@ -33,6 +33,9 @@ def main(argv=None):
                          help="overwrite existing trial results")
     p_train.add_argument("--resume", action="store_true",
                          help="resume from the trial's last checkpoint")
+    p_train.add_argument("--profile-dir", default=None,
+                         help="capture a jax.profiler trace of the fit "
+                              "into this directory")
 
     p_test = sub.add_parser("test", help="evaluate a checkpoint")
     _add_common(p_test)
@@ -75,6 +78,21 @@ def main(argv=None):
         help="reference (PyTorch Lightning) .ckpt to import instead of a "
              "native checkpoint (ref commands/infer.py:91-143)")
     p_infer.add_argument("--n-steps", type=int, default=100)
+
+    p_export = sub.add_parser(
+        "export", help="serialize the rollout as a StableHLO serving artifact")
+    p_export.add_argument("config_path", help="experiment config YAML")
+    p_export.add_argument("out_path")
+    p_export.add_argument("overrides", nargs="*",
+                          help="dotted-path overrides key=value")
+    p_export.add_argument("--trial", type=int, default=0)
+    p_export.add_argument("--checkpoint-path", default=None)
+    p_export.add_argument("--torch-checkpoint", default=None)
+    p_export.add_argument("--n-steps", type=int, default=20)
+    p_export.add_argument("--batch-size", type=int, default=1)
+    p_export.add_argument("--size", type=int, default=64)
+    p_export.add_argument("--platforms", nargs="*", default=None,
+                          help="lowering platforms, e.g. tpu cpu")
 
     p_sample = sub.add_parser("sample", help="pickle one (batch, pred) pair")
     _add_common(p_sample)
@@ -136,6 +154,7 @@ def main(argv=None):
             no_test=args.no_test,
             force=args.force,
             resume=args.resume,
+            profile_dir=args.profile_dir,
         )
     elif args.command == "test":
         from .test import main as test_main
@@ -152,6 +171,17 @@ def main(argv=None):
         infer_main(args.config_path, args.checkpoint_path,
                    overrides=args.overrides, n_steps=args.n_steps,
                    trial=args.trial, torch_checkpoint=args.torch_checkpoint)
+    elif args.command == "export":
+        from .export import main as export_main
+
+        export_main(
+            args.config_path, args.out_path,
+            checkpoint_path=args.checkpoint_path,
+            torch_checkpoint=args.torch_checkpoint,
+            overrides=args.overrides, n_steps=args.n_steps,
+            batch_size=args.batch_size, size=args.size,
+            platforms=args.platforms, trial=args.trial,
+        )
     elif args.command == "sample":
         from .sample import main as sample_main
 

@@ -103,6 +103,7 @@ def main(
     no_test: bool = False,
     force: bool = False,
     resume: bool = False,
+    profile_dir: Optional[str] = None,
 ):
     cfg = load_config(config_path, overrides)
     seed = 7231 + trial  # reference commands/train.py:56-58
@@ -156,7 +157,16 @@ def main(
         template = routine.init(jax.random.PRNGKey(seed), builder.sample_batch())
         state = load_state(checkpoint_path, template)
 
-    state = trainer.fit(routine, builder, state=state)
+    if profile_dir:
+        # First-class jax.profiler trace around the fit (SURVEY.md §5 —
+        # the reference offers wall-clock timing only); view the result
+        # with TensorBoard's profile plugin or ui.perfetto.dev.
+        from ..utils.profiling import trace
+
+        with trace(profile_dir):
+            state = trainer.fit(routine, builder, state=state)
+    else:
+        state = trainer.fit(routine, builder, state=state)
 
     if not no_test:
         logs = trainer.test(routine, builder, state)

@@ -1,0 +1,112 @@
+"""Serving export: self-contained StableHLO rollout artifacts.
+
+The reference has no deployment story beyond a live Python process; here
+the flagship inference path (autoregressive Markov rollout with feature
+rebuild + normalizer, routines/grid_2d_markov.py::rollout) can be exported
+with ``jax.export`` into a single serialized artifact — parameters and
+normalizer statistics baked in as constants, the whole rollout a
+``lax.scan`` inside one XLA program. A serving host deserializes and calls
+it with a vorticity field; no flax, no model code, no Python framework
+state needed at serve time.
+
+Artifacts record their lowering platform(s); export on the platform you
+serve on (or pass ``platforms=['tpu', 'cpu']`` for a multi-platform
+artifact at export time).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["make_rollout_fn", "export_rollout", "load_exported"]
+
+
+def make_rollout_fn(routine, state, n_steps: int):
+    """A pure serving function ``w0 [b,X,Y,1] (-> , force) -> preds
+    [b,X,Y,n_steps]`` closing over params + normalizer statistics.
+
+    Mirrors the eval rollout (grid_2d_markov.py::rollout) without targets:
+    rebuild features from each prediction, normalize, model forward,
+    denormalize, feed back.
+    """
+    params = state.params
+    norm = state.normalizer
+    takes_force = bool(getattr(routine, "append_force", False))
+
+    def step_fn(im, force):
+        x = routine.build_features(im, force, None)
+        if routine.should_normalize:
+            from ..layers import normalizer_apply, normalizer_inverse
+
+            x = normalizer_apply(norm, x)
+            out = routine.model.apply(params, x)["forecast"]
+            out = normalizer_inverse(norm, out, channel=0)
+        else:
+            out = routine.model.apply(params, x)["forecast"]
+        if getattr(routine, "learn_difference", False):
+            return im + out
+        return out
+
+    if takes_force:
+        def serve(w0, force):
+            def body(im, _):
+                im = step_fn(im, force)
+                return im, im[..., 0]
+
+            _, traj = jax.lax.scan(body, w0, None, length=n_steps)
+            return jnp.moveaxis(traj, 0, -1)
+    else:
+        def serve(w0):
+            def body(im, _):
+                im = step_fn(im, None)
+                return im, im[..., 0]
+
+            _, traj = jax.lax.scan(body, w0, None, length=n_steps)
+            return jnp.moveaxis(traj, 0, -1)
+
+    serve.takes_force = takes_force
+    return serve
+
+
+def export_rollout(
+    routine,
+    state,
+    out_path: str,
+    n_steps: int,
+    batch_size: int,
+    size: int,
+    platforms: Optional[Sequence[str]] = None,
+) -> str:
+    """Export the rollout to a serialized StableHLO artifact at
+    ``out_path``. Returns the path."""
+    serve = make_rollout_fn(routine, state, n_steps)
+    args = [jax.ShapeDtypeStruct((batch_size, size, size, 1), jnp.float32)]
+    if serve.takes_force:
+        args.append(jax.ShapeDtypeStruct((size, size), jnp.float32))
+    exported = jax_export.export(
+        jax.jit(serve),
+        platforms=list(platforms) if platforms else None,
+    )(*args)
+    blob = exported.serialize()
+    with open(out_path, "wb") as f:
+        f.write(blob)
+    logger.info(
+        "exported rollout (%d steps, batch %d, %d^2, platforms=%s): %s (%d bytes)",
+        n_steps, batch_size, size, exported.platforms, out_path, len(blob),
+    )
+    return out_path
+
+
+def load_exported(path: str):
+    """Deserialize an exported rollout; returns a callable
+    ``(w0[, force]) -> preds``."""
+    with open(path, "rb") as f:
+        exported = jax_export.deserialize(f.read())
+    return jax.jit(exported.call)

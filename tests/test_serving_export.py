@@ -1,0 +1,109 @@
+"""Serving export: StableHLO rollout artifacts (utils/serving.py).
+
+The exported artifact bakes in params + normalizer stats; deserializing
+and calling it must reproduce the live rollout exactly — and the CLI
+`export` command must produce a loadable artifact end to end.
+"""
+
+import os
+
+import h5py
+import numpy as np
+import pytest
+import yaml
+
+import jax
+import jax.numpy as jnp
+
+from fourierflow_tpu.models import FNOFactorized2DBlock
+from fourierflow_tpu.routines import Grid2DMarkovRoutine
+from fourierflow_tpu.utils.serving import (
+    export_rollout,
+    load_exported,
+    make_rollout_fn,
+)
+
+
+def _routine_and_state(use_velocity=False, grid=16):
+    in_dim = 5 if use_velocity else 3
+    model = FNOFactorized2DBlock(
+        modes=4, width=8, input_dim=in_dim, n_layers=2,
+        share_weight=True, factor=2, ff_weight_norm=True,
+    )
+    routine = Grid2DMarkovRoutine(
+        model, n_steps=4, max_accumulations=100, use_velocity=use_velocity
+    )
+    rng = np.random.RandomState(0)
+    batch = {"x": rng.randn(2, grid, grid, 1).astype(np.float32),
+             "y": rng.randn(2, grid, grid, 1).astype(np.float32)}
+    state = routine.init(jax.random.PRNGKey(0), batch)
+    state = routine.accumulate_step(state, batch)
+    return routine, state
+
+
+def test_export_roundtrip_matches_live_rollout(tmp_path):
+    routine, state = _routine_and_state()
+    n_steps, grid = 3, 16
+    serve = make_rollout_fn(routine, state, n_steps)
+    rng = np.random.RandomState(1)
+    w0 = jnp.asarray(rng.randn(2, grid, grid, 1).astype(np.float32))
+    live = serve(w0)
+    assert live.shape == (2, grid, grid, n_steps)
+
+    path = str(tmp_path / "rollout.stablehlo")
+    export_rollout(routine, state, path, n_steps=n_steps, batch_size=2, size=grid)
+    assert os.path.getsize(path) > 0
+
+    loaded = load_exported(path)
+    got = loaded(w0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(live), rtol=1e-5, atol=1e-6)
+
+
+def test_export_matches_eval_rollout_predictions(tmp_path):
+    """The serving fn reproduces routine.rollout's predictions (same
+    feature rebuild + normalizer + feedback), with velocity features."""
+    routine, state = _routine_and_state(use_velocity=True)
+    grid, n_steps = 16, 4
+    rng = np.random.RandomState(2)
+    data = jnp.asarray(rng.randn(2, grid, grid, n_steps + 1).astype(np.float32))
+    preds, _, _ = jax.jit(routine.rollout)(state, {"data": data})
+
+    serve = make_rollout_fn(routine, state, n_steps)
+    w0 = data[..., 0][..., None]
+    got = serve(w0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(preds), rtol=2e-4, atol=1e-5)
+
+
+def test_cli_export_end_to_end(tmp_path):
+    from fourierflow_tpu.commands.__main__ import main as cli
+
+    rng = np.random.RandomState(0)
+    flat = str(tmp_path / "ns_flat.h5")
+    with h5py.File(flat, "w") as f:
+        f.create_dataset("u", data=rng.randn(12, 16, 16, 10).astype(np.float32))
+    cfg = {
+        "builder": {
+            "_target_": "fourierflow_tpu.builders.NSMarkovBuilder",
+            "data_path": flat,
+            "train_size": 8, "test_size": 4, "ssr": 1, "batch_size": 4,
+        },
+        "routine": {
+            "_target_": "fourierflow_tpu.routines.Grid2DMarkovRoutine",
+            "conv": {
+                "_target_": "fourierflow_tpu.models.FNOFactorized2DBlock",
+                "modes": 4, "width": 8, "input_dim": 3, "n_layers": 2,
+            },
+            "n_steps": 4, "max_accumulations": 100,
+        },
+    }
+    cfg_path = str(tmp_path / "exp" / "config.yaml")
+    os.makedirs(os.path.dirname(cfg_path))
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    out = str(tmp_path / "artifact.stablehlo")
+    cli(["export", cfg_path, out, "--n-steps", "2", "--batch-size", "1",
+         "--size", "16"])
+    fn = load_exported(out)
+    w0 = jnp.zeros((1, 16, 16, 1))
+    assert np.asarray(fn(w0)).shape == (1, 16, 16, 2)
