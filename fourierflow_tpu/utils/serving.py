@@ -9,9 +9,10 @@ normalizer statistics baked in as constants, the whole rollout a
 it with a vorticity field; no flax, no model code, no Python framework
 state needed at serve time.
 
-Artifacts record their lowering platform(s); export on the platform you
-serve on (or pass ``platforms=['tpu', 'cpu']`` for a multi-platform
-artifact at export time).
+Artifacts record their lowering platform(s); pass
+``platforms=['cpu', 'tpu']`` to lower for both backends in one artifact —
+cross-platform lowering works from a CPU-only host, so artifacts can be
+built where you train configs and served on the TPU fleet.
 """
 
 from __future__ import annotations

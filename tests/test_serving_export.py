@@ -74,6 +74,18 @@ def test_export_matches_eval_rollout_predictions(tmp_path):
     np.testing.assert_allclose(np.asarray(got), np.asarray(preds), rtol=2e-4, atol=1e-5)
 
 
+def test_multiplatform_export_from_cpu_host(tmp_path):
+    """platforms=['cpu','tpu'] lowers for BOTH backends on the CPU host —
+    export where you build, serve on the TPU fleet."""
+    routine, state = _routine_and_state()
+    path = str(tmp_path / "multi.stablehlo")
+    export_rollout(routine, state, path, n_steps=2, batch_size=1, size=16,
+                   platforms=["cpu", "tpu"])
+    fn = load_exported(path)
+    out = fn(jnp.zeros((1, 16, 16, 1)))
+    assert np.asarray(out).shape == (1, 16, 16, 2)
+
+
 def test_cli_export_end_to_end(tmp_path):
     from fourierflow_tpu.commands.__main__ import main as cli
 
