@@ -6,6 +6,7 @@ reparameterization (w = g * v/||v||) rather than a module hook, so it traces
 cleanly under jit.
 """
 
+import contextlib
 import math
 import os
 from typing import Optional
@@ -29,7 +30,30 @@ __all__ = [
     "normalizer_inverse",
     "LpLoss",
     "GehringLinear",
+    "ff_fuse_override",
 ]
+
+# Process-wide FeedForward fuse override (None = use each module's `fuse`
+# attribute). Serving export sets this to 'never' while lowering: a Pallas
+# pallas_call cannot cross-lower to other platforms in a multi-platform
+# StableHLO artifact, and the fused kernel's win is in the *backward*
+# (forward-only fusion measured slower than XLA's own fusion — RESULTS.md),
+# so inference artifacts should carry plain dots.
+_FF_FUSE_OVERRIDE: Optional[str] = None
+
+
+@contextlib.contextmanager
+def ff_fuse_override(mode: Optional[str]):
+    """Temporarily force every FeedForward's fuse mode (e.g. 'never' while
+    tracing/lowering an export). Trace-time only: must be active while the
+    function is being traced, not when the compiled result runs."""
+    global _FF_FUSE_OVERRIDE
+    prev = _FF_FUSE_OVERRIDE
+    _FF_FUSE_OVERRIDE = mode
+    try:
+        yield
+    finally:
+        _FF_FUSE_OVERRIDE = prev
 
 
 def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
@@ -168,18 +192,22 @@ class FeedForward(nn.Module):
     # process-wide with FOURIERFLOW_FF_FUSE (benchmark A/Bs).
     fuse: str = os.environ.get("FOURIERFLOW_FF_FUSE", "auto")
 
+    def _fuse_mode(self) -> str:
+        return _FF_FUSE_OVERRIDE if _FF_FUSE_OVERRIDE is not None else self.fuse
+
     def _fusable(self) -> bool:
         return (
             self.n_layers == 2
             and self.dropout == 0.0
             and not self.layer_norm
-            and self.fuse != "never"
+            and self._fuse_mode() != "never"
         )
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         backend = jax.default_backend()
-        if self._fusable() and (self.fuse == "always" or backend == "tpu"):
+        fuse = self._fuse_mode()
+        if self._fusable() and (fuse == "always" or backend == "tpu"):
             from .ops.pallas_ff import fused_ff
 
             lin0 = WNLinear(self.dim * self.factor, wnorm=self.ff_weight_norm,
@@ -194,7 +222,7 @@ class FeedForward(nn.Module):
             if self.dtype is not None:
                 x = x.astype(self.dtype)
             return fused_ff(x, k1, b1, k2, b2, backend != "tpu",
-                            self.fuse != "fwd")
+                            fuse != "fwd")
         for i in range(self.n_layers):
             out_dim = self.dim if i == self.n_layers - 1 else self.dim * self.factor
             x = WNLinear(out_dim, wnorm=self.ff_weight_norm, dtype=self.dtype)(x)

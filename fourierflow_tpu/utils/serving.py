@@ -91,10 +91,18 @@ def export_rollout(
     args = [jax.ShapeDtypeStruct((batch_size, size, size, 1), jnp.float32)]
     if serve.takes_force:
         args.append(jax.ShapeDtypeStruct((size, size), jnp.float32))
-    exported = jax_export.export(
-        jax.jit(serve),
-        platforms=list(platforms) if platforms else None,
-    )(*args)
+    # Lower with the fused Pallas FeedForward disabled: a pallas_call
+    # cannot cross-lower to other platforms (multi-platform export from a
+    # TPU host raises "Only interpret mode is supported on CPU backend"),
+    # and the fused kernel only wins in the backward — forward-only
+    # artifacts are better served by XLA's own fusion.
+    from ..layers import ff_fuse_override
+
+    with ff_fuse_override("never"):
+        exported = jax_export.export(
+            jax.jit(serve),
+            platforms=list(platforms) if platforms else None,
+        )(*args)
     blob = exported.serialize()
     with open(out_path, "wb") as f:
         f.write(blob)

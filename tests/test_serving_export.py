@@ -74,6 +74,36 @@ def test_export_matches_eval_rollout_predictions(tmp_path):
     np.testing.assert_allclose(np.asarray(got), np.asarray(preds), rtol=2e-4, atol=1e-5)
 
 
+def test_export_lowers_unfused_ff(tmp_path):
+    """Artifacts must carry plain XLA dots, never a pallas_call: Pallas
+    cannot cross-lower to other platforms (a fused-FF model exported
+    multi-platform from a TPU host raised 'Only interpret mode is
+    supported on CPU backend'), and the fused kernel only wins in the
+    backward. An ambient ff_fuse_override('always') (which puts the kernel
+    in the trace even on CPU) must lose to the export's own 'never'."""
+    from jax import export as jax_export
+
+    from fourierflow_tpu.layers import ff_fuse_override
+
+    routine, state = _routine_and_state()
+    rng = np.random.RandomState(0)
+    path = str(tmp_path / "fused.stablehlo")
+    with ff_fuse_override("always"):
+        export_rollout(routine, state, path, n_steps=2, batch_size=1, size=16,
+                       platforms=["cpu", "tpu"])
+    with open(path, "rb") as f:
+        exported = jax_export.deserialize(f.read())
+    mlir = exported.mlir_module()
+    assert "pallas" not in mlir and "mosaic" not in mlir
+
+    # and the unfused artifact still reproduces the (fused) live rollout
+    w0 = jnp.asarray(rng.randn(1, 16, 16, 1).astype(np.float32))
+    live = jax.jit(make_rollout_fn(routine, state, 2))(w0)
+    got = load_exported(path)(w0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(live),
+                               rtol=2e-4, atol=1e-5)
+
+
 def test_multiplatform_export_from_cpu_host(tmp_path):
     """platforms=['cpu','tpu'] lowers for BOTH backends on the CPU host —
     export where you build, serve on the TPU fleet."""
