@@ -103,7 +103,7 @@ def main(argv=None):
     p_plot.add_argument(
         "kind",
         choices=["layers", "correlation", "step-losses", "parameters",
-                 "table", "heatmap"],
+                 "table", "heatmap", "energy", "flows"],
     )
     p_plot.add_argument(
         "dataset", nargs="?", default=None,
@@ -115,6 +115,16 @@ def main(argv=None):
     p_plot.add_argument("--out-path", default=None)
     p_plot.add_argument("--latex", action="store_true",
                         help="emit the reference's LaTeX rows for tables")
+    p_plot.add_argument(
+        "--inputs", nargs="+", default=None,
+        help="for 'energy'/'flows': name=path.h5 prediction/trajectory files",
+    )
+    p_plot.add_argument("--times", type=int, nargs="+", default=None,
+                        help="for 'flows': time indices (columns)")
+    p_plot.add_argument("--tail", type=int, default=80,
+                        help="for 'energy': trailing time window to average")
+    p_plot.add_argument("--sample", type=int, default=0,
+                        help="for 'flows': sample index")
 
     p_conv = sub.add_parser("convert", help="convert meshgraphnets TFRecords to HDF5")
     conv_sub = p_conv.add_subparsers(dest="converter", required=True)
@@ -203,6 +213,14 @@ def main(argv=None):
         elif args.kind == "parameters":
             plot_mod.parameters(args.root,
                                 out_path=args.out_path or "parameters.png")
+        elif args.kind == "energy":
+            plot_mod.energy(args.inputs or [],
+                            out_path=args.out_path or "energy.png",
+                            tail=args.tail)
+        elif args.kind == "flows":
+            plot_mod.flows(args.inputs or [],
+                           out_path=args.out_path or "samples.png",
+                           sample=args.sample, times=args.times)
         else:
             plot_mod.correlation(args.root, out_path=args.out_path or "correlation.png")
     elif args.command == "convert":

@@ -24,6 +24,11 @@ Coverage of the reference surface:
     :969-995).
   - ``heatmap`` — prediction/target vorticity fields from a sample.pkl
     (reference heatmaps, :596-614).
+  - ``energy`` — shell-averaged kinetic energy spectra k^5 E(k) of
+    predictions/DNS trajectories (reference plot_energy_spectrum,
+    :256-307).
+  - ``flows`` — vorticity snapshot grid, rows = trajectories/models,
+    cols = times (reference flows, :139-170).
 """
 
 import glob
@@ -47,6 +52,8 @@ __all__ = [
     "table",
     "reference_table",
     "heatmap",
+    "energy",
+    "flows",
 ]
 
 # The reference's Tables A.3-A.6 (plot.py:617-731): rows are (display
@@ -385,6 +392,130 @@ def step_losses(root: str = "configs", out_path: str = "step_losses.png"):
     ax.set_xlabel("Rollout step")
     ax.set_ylabel("Normalized MSE (%)")
     ax.legend(fontsize=6)
+    fig.savefig(out_path, bbox_inches="tight", dpi=120)
+    logger.info("wrote %s", out_path)
+    return out_path
+
+
+def _load_vorticity(path: str):
+    """Vorticity [sample, x, y, time] from either HDF5 layout: rollout
+    predictions (save_predictions: vorticity/vx/vy [sample,x,y,time]) or
+    generated Kolmogorov trajectories (generate.py: vorticity
+    [traj,time,x,y] + a ``time`` vector). Returns (vorticity, vx, vy)
+    with vx/vy possibly None."""
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        w = np.asarray(f["vorticity"])
+        vx = np.asarray(f["vx"]) if "vx" in f else None
+        vy = np.asarray(f["vy"]) if "vy" in f else None
+        t_len = f["time"].shape[0] if "time" in f else None
+    if t_len is not None and w.ndim == 4 and w.shape[1] == t_len != w.shape[-1]:
+        w = np.moveaxis(w, 1, -1)
+        vx = np.moveaxis(vx, 1, -1) if vx is not None else None
+        vy = np.moveaxis(vy, 1, -1) if vy is not None else None
+    return w, vx, vy
+
+
+def _energy_spectrum(w, vx=None, vy=None):
+    """Shell-averaged kinetic energy spectrum E(k), mean over samples and
+    times. Velocities recovered spectrally from vorticity when absent
+    (periodic torus: u_hat = i k_perp w_hat / k^2). Host-side analysis —
+    np.fft, never on the TPU path."""
+    n = w.shape[1]
+    if vx is None or vy is None:
+        kx = np.fft.fftfreq(n, 1.0 / n)[:, None]
+        ky = np.fft.fftfreq(n, 1.0 / n)[None, :]
+        k2 = kx**2 + ky**2
+        k2[0, 0] = 1.0
+        w_hat = np.fft.fftn(w, axes=(1, 2))
+        psi_hat = w_hat / k2[None, :, :, None]
+        u_hat = 1j * ky[None, :, :, None] * psi_hat
+        v_hat = -1j * kx[None, :, :, None] * psi_hat
+    else:
+        u_hat = np.fft.fftn(vx, axes=(1, 2))
+        v_hat = np.fft.fftn(vy, axes=(1, 2))
+    # E(kx,ky) per sample/time, normalized so E is grid-size independent
+    e2d = 0.5 * (np.abs(u_hat) ** 2 + np.abs(v_hat) ** 2) / n**4
+    kx = np.fft.fftfreq(n, 1.0 / n)[:, None]
+    ky = np.fft.fftfreq(n, 1.0 / n)[None, :]
+    shell = np.round(np.sqrt(kx**2 + ky**2)).astype(int)
+    n_shells = n // 2
+    e_mean = e2d.mean(axis=(0, 3))  # over samples and times
+    spectrum = np.zeros(n_shells)
+    for k in range(n_shells):
+        spectrum[k] = e_mean[shell == k].sum()
+    return np.arange(n_shells), spectrum
+
+
+def energy(inputs: List[str], out_path: str = "energy.png", tail: int = 80,
+           scale_power: int = 5):
+    """Scaled energy spectra k^scale_power * E(k) for a set of
+    ``name=path.h5`` trajectory/prediction files (reference
+    plot_energy_spectrum, plot.py:256-307: F-FNO at several resolutions
+    vs DNS baselines, log-log, k^5 scaling, trailing-time mean)."""
+    curves = {}
+    for spec in inputs:
+        name, _, path = spec.partition("=")
+        if not path:
+            name, path = os.path.basename(spec), spec
+        w, vx, vy = _load_vorticity(path)
+        sl = slice(-tail, None) if tail else slice(None)
+        w = w[..., sl]
+        vx = vx[..., sl] if vx is not None else None
+        vy = vy[..., sl] if vy is not None else None
+        k, e = _energy_spectrum(w, vx, vy)
+        curves[name] = (k[1:], (k[1:] ** float(scale_power)) * e[1:])
+    plt = _pyplot()
+    if plt is None:
+        print(json.dumps({n: c[1].tolist() for n, c in curves.items()}))
+        return curves
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for name, (k, e) in curves.items():
+        style = "-" if "dns" in name.lower() else "--"
+        ax.plot(k, e, style, label=name, linewidth=2)
+    ax.set_xscale("log")
+    ax.set_yscale("log")
+    ax.set_xlabel("Wavenumber")
+    ax.set_ylabel(f"Scaled energy spectrum $k^{scale_power} E(k)$")
+    ax.legend(fontsize=7)
+    fig.savefig(out_path, bbox_inches="tight", dpi=120)
+    logger.info("wrote %s", out_path)
+    return out_path
+
+
+def flows(inputs: List[str], out_path: str = "samples.png", sample: int = 0,
+          times: Optional[List[int]] = None):
+    """Vorticity snapshot grid — rows are trajectories/models, columns are
+    times (reference flows, plot.py:139-170: DNS 2048^2 vs F-FNO vs DNS
+    at the model grid, times [0, 10, 21])."""
+    rows = []
+    for spec in inputs:
+        name, _, path = spec.partition("=")
+        if not path:
+            name, path = os.path.basename(spec), spec
+        w, _, _ = _load_vorticity(path)
+        rows.append((name, w[sample]))
+    times = times or [0, 10, 21]
+    plt = _pyplot()
+    if plt is None:
+        return rows
+    fig, axes = plt.subplots(len(rows), len(times),
+                             figsize=(2.3 * len(times), 2.3 * len(rows)),
+                             squeeze=False)
+    for i, (name, w) in enumerate(rows):
+        vmax = np.percentile(np.abs(w), 98)
+        for j, t in enumerate(times):
+            t_idx = min(t, w.shape[-1] - 1)
+            ax = axes[i][j]
+            ax.imshow(w[..., t_idx].T, cmap="RdBu_r", vmin=-vmax, vmax=vmax,
+                      origin="lower")
+            ax.set_xticks([])
+            ax.set_yticks([])
+            if i == 0:
+                ax.set_title(f"t = {t_idx}", fontsize=8)
+        axes[i][0].set_ylabel(name, fontsize=8)
+    fig.tight_layout()
     fig.savefig(out_path, bbox_inches="tight", dpi=120)
     logger.info("wrote %s", out_path)
     return out_path

@@ -306,6 +306,57 @@ def test_plot_reference_tables_and_figures(tmp_path):
     assert (tmp_path / "table.md").exists()
 
 
+def test_plot_energy_spectrum_and_flows(tmp_path):
+    """`plot energy` / `plot flows` (reference plot.py:256-307, 139-170)
+    over local HDF5 files, both layouts: a single-mode velocity field
+    concentrates its shell-averaged spectrum at that wavenumber, and the
+    vorticity-derived path agrees with the velocity path."""
+    import h5py
+
+    from fourierflow_tpu.commands import plot as plot_mod
+    from fourierflow_tpu.commands.__main__ import main as cli
+
+    n, t_len, k0 = 32, 6, 5
+    x = np.arange(n) * 2 * np.pi / n
+    # u = sin(k0 y), v = 0 -> vorticity w = dv/dx - du/dy = -k0 cos(k0 y)
+    u = np.tile(np.sin(k0 * x)[None, :], (n, 1))
+    w = np.tile(-k0 * np.cos(k0 * x)[None, :], (n, 1))
+    vx = np.broadcast_to(u[None, :, :, None], (2, n, n, t_len)).astype(np.float32)
+    vy = np.zeros_like(vx)
+    wt = np.broadcast_to(w[None, :, :, None], (2, n, n, t_len)).astype(np.float32)
+
+    # predictions layout: [sample, x, y, time]
+    preds = tmp_path / "preds.h5"
+    with h5py.File(preds, "w") as f:
+        f["vorticity"], f["vx"], f["vy"] = wt, vx, vy
+        f["time"] = np.arange(t_len, dtype=np.float32)
+    # generated-trajectory layout: [traj, time, x, y], vorticity only
+    traj = tmp_path / "traj.h5"
+    with h5py.File(traj, "w") as f:
+        f["vorticity"] = np.moveaxis(wt, -1, 1)
+        f["time"] = np.arange(t_len, dtype=np.float32)
+
+    k, e_vel = plot_mod._energy_spectrum(wt, vx, vy)
+    _, e_vort = plot_mod._energy_spectrum(wt)
+    # all energy in shell k0; E = mean(u^2)/2 = 1/4
+    assert int(np.argmax(e_vel)) == k0
+    assert e_vel[k0] == pytest.approx(0.25, rel=1e-5)
+    assert e_vel[k0] / e_vel.sum() > 0.999
+    np.testing.assert_allclose(e_vort, e_vel, rtol=1e-5, atol=1e-9)
+
+    cli(["plot", "energy", "--inputs", f"model={preds}", f"dns={traj}",
+         "--tail", "4", "--out-path", str(tmp_path / "energy.png")])
+    cli(["plot", "flows", "--inputs", f"model={preds}", f"dns={traj}",
+         "--times", "0", "2", "5", "--out-path", str(tmp_path / "samples.png")])
+    try:
+        import matplotlib  # noqa: F401
+    except ImportError:
+        pass
+    else:
+        assert (tmp_path / "energy.png").exists()
+        assert (tmp_path / "samples.png").exists()
+
+
 @pytest.fixture()
 def tiny_experiment(tmp_path):
     """A tiny trained markov experiment on synthetic data (shared by the
