@@ -93,6 +93,10 @@ def main(argv=None):
     p_export.add_argument("--size", type=int, default=64)
     p_export.add_argument("--platforms", nargs="*", default=None,
                           help="lowering platforms, e.g. tpu cpu")
+    p_export.add_argument("--precision", default=None,
+                          choices=["default", "high", "highest"],
+                          help="matmul precision baked into the artifact "
+                               "(highest = full-f32 dots for reproducibility)")
 
     p_sample = sub.add_parser("sample", help="pickle one (batch, pred) pair")
     _add_common(p_sample)
@@ -191,6 +195,7 @@ def main(argv=None):
             overrides=args.overrides, n_steps=args.n_steps,
             batch_size=args.batch_size, size=args.size,
             platforms=args.platforms, trial=args.trial,
+            precision=args.precision,
         )
     elif args.command == "sample":
         from .sample import main as sample_main

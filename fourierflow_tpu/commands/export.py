@@ -31,6 +31,7 @@ def main(
     size: int = 64,
     platforms: Optional[List[str]] = None,
     trial: int = 0,
+    precision: Optional[str] = None,
 ):
     from ..utils.serving import export_rollout, load_exported
 
@@ -50,6 +51,7 @@ def main(
     path = export_rollout(
         routine, state, out_path,
         n_steps=n_steps, batch_size=batch_size, size=size, platforms=platforms,
+        precision=precision,
     )
     # Smoke-load the artifact so a broken export fails here, not at serve
     # time.

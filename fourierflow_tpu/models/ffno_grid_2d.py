@@ -110,6 +110,13 @@ class FNOFactorized2DBlock(nn.Module):
     mode: str = "full"
     spectral_impl: str = "auto"
     dtype: Optional[jnp.dtype] = None  # compute dtype (e.g. bf16); params f32
+    # Rematerialize each layer in the backward pass (jax.checkpoint): only
+    # layer inputs are saved; the spectral-mix intermediates (truncated-DFT
+    # coefficients, both branches) are recomputed. Trades ~1/3 extra FLOPs
+    # for O(n_layers) less activation memory — enables larger grids/batches
+    # (e.g. 256^2 training) on one chip. Parameter tree is unchanged, so
+    # checkpoints and reference-weight imports work in either mode.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True, **kwargs):
@@ -152,26 +159,44 @@ class FNOFactorized2DBlock(nn.Module):
             name="out",
         )
 
+        if self.remat:
+            # Params stay in block scope (created below, passed as arrays)
+            # and the FF is handed in as the module argument, so remat
+            # changes only what the backward pass saves — not the tree.
+            def _layer(ff, x_in, wy, wx, det):
+                if self.mode == "no-fourier":
+                    h = x_in
+                else:
+                    h = fourier_mix_2d(
+                        x_in, wy, wx, self.mode, self.modes, self.spectral_impl
+                    )
+                return h, ff(h, deterministic=det)
+
+            layer_fn = nn.remat(_layer, static_argnums=(4,))
+
         forecast = 0.0
         forecast_list = []
         b = x
         for i in range(self.n_layers):
-            if self.mode == "no-fourier":
-                h = x
+            if self.mode == "full" and not self.share_weight:
+                wy = self.param(
+                    f"layers_{i}_fourier_weight_y", xavier_normal_init(1.0), wshape
+                )
+                wx = self.param(
+                    f"layers_{i}_fourier_weight_x", xavier_normal_init(1.0), wshape
+                )
             else:
-                if self.mode == "full" and not self.share_weight:
-                    wy = self.param(
-                        f"layers_{i}_fourier_weight_y", xavier_normal_init(1.0), wshape
-                    )
-                    wx = self.param(
-                        f"layers_{i}_fourier_weight_x", xavier_normal_init(1.0), wshape
-                    )
-                else:
-                    wy, wx = shared_wy, shared_wx
-                h = fourier_mix_2d(x, wy, wx, self.mode, self.modes, self.spectral_impl)
+                wy, wx = shared_wy, shared_wx
 
             backcast_ff = shared_backcast or make_ff(f"layers_{i}_backcast_ff")
-            b = backcast_ff(h, deterministic=deterministic)
+            if self.remat:
+                h, b = layer_fn(backcast_ff, x, wy, wx, deterministic)
+            else:
+                if self.mode == "no-fourier":
+                    h = x
+                else:
+                    h = fourier_mix_2d(x, wy, wx, self.mode, self.modes, self.spectral_impl)
+                b = backcast_ff(h, deterministic=deterministic)
             if self.use_fork:
                 forecast_ff = shared_forecast or make_ff(f"layers_{i}_forecast_ff")
                 f = forecast_ff(h, deterministic=deterministic)

@@ -46,6 +46,10 @@ class FNOFactorizedMesh3D(nn.Module):
     layer_norm: bool = False
     padding: int = 8
     spectral_impl: str = "auto"
+    # Rematerialize each layer's three spectral branches + FF in the
+    # backward pass (jax.checkpoint) — the 3D volumes make this the most
+    # activation-hungry model; same param tree either way.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, **kwargs):
@@ -70,6 +74,16 @@ class FNOFactorizedMesh3D(nn.Module):
                 make_w("fourier_weight_z", self.modes_z),
             )
 
+        def _layer(ff, x_in, wx, wy, wz):
+            mixed = (
+                spectral_mix_axis(x_in, wx, axis=1, impl=self.spectral_impl)
+                + spectral_mix_axis(x_in, wy, axis=2, impl=self.spectral_impl)
+                + spectral_mix_axis(x_in, wz, axis=3, impl=self.spectral_impl)
+            )
+            return ff(mixed)
+
+        layer_fn = nn.remat(_layer) if self.remat else _layer
+
         h = x
         for i in range(self.n_layers):
             if shared is not None:
@@ -78,12 +92,7 @@ class FNOFactorizedMesh3D(nn.Module):
                 wx = make_w(f"layers_{i}_fourier_weight_x", self.modes_x)
                 wy = make_w(f"layers_{i}_fourier_weight_y", self.modes_y)
                 wz = make_w(f"layers_{i}_fourier_weight_z", self.modes_z)
-            mixed = (
-                spectral_mix_axis(x, wx, axis=1, impl=self.spectral_impl)
-                + spectral_mix_axis(x, wy, axis=2, impl=self.spectral_impl)
-                + spectral_mix_axis(x, wz, axis=3, impl=self.spectral_impl)
-            )
-            h = FeedForward(
+            ff = FeedForward(
                 self.width,
                 self.factor,
                 self.ff_weight_norm,
@@ -91,7 +100,8 @@ class FNOFactorizedMesh3D(nn.Module):
                 self.layer_norm,
                 0.0,
                 name=f"layers_{i}_backcast_ff",
-            )(mixed)
+            )
+            h = layer_fn(ff, x, wx, wy, wz)
             x = x + h
 
         h = h[:, :-p, :-p, :-p, :]

@@ -84,9 +84,18 @@ def export_rollout(
     batch_size: int,
     size: int,
     platforms: Optional[Sequence[str]] = None,
+    precision: Optional[str] = None,
 ) -> str:
     """Export the rollout to a serialized StableHLO artifact at
-    ``out_path``. Returns the path."""
+    ``out_path``. Returns the path.
+
+    ``precision`` bakes a matmul precision into the artifact (e.g.
+    ``'highest'`` = full-f32 dots). At the TPU default (bf16 dots), two
+    equivalent lowerings can differ by ~0.5% per matmul depending on
+    fusion layout — measured ~2% per step through an 8-layer forward —
+    so artifacts that must reproduce a reference trace bit-closely
+    should export with ``precision='highest'`` (at ~2x matmul cost on
+    the MXU for f32)."""
     serve = make_rollout_fn(routine, state, n_steps)
     args = [jax.ShapeDtypeStruct((batch_size, size, size, 1), jnp.float32)]
     if serve.takes_force:
@@ -96,9 +105,14 @@ def export_rollout(
     # TPU host raises "Only interpret mode is supported on CPU backend"),
     # and the fused kernel only wins in the backward — forward-only
     # artifacts are better served by XLA's own fusion.
+    import contextlib
+
     from ..layers import ff_fuse_override
 
-    with ff_fuse_override("never"):
+    with contextlib.ExitStack() as stack:
+        stack.enter_context(ff_fuse_override("never"))
+        if precision is not None:
+            stack.enter_context(jax.default_matmul_precision(precision))
         exported = jax_export.export(
             jax.jit(serve),
             platforms=list(platforms) if platforms else None,

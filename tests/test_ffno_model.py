@@ -1,6 +1,7 @@
 """Tests for the flagship F-FNO grid model."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -96,3 +97,36 @@ def test_dft_vs_fft_impl_agree_in_model():
     o1 = m1.apply(params, x)["forecast"]
     o2 = m2.apply(params, x)["forecast"]
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-3, atol=1e-5)
+
+
+@pytest.mark.parametrize("config", [
+    dict(share_weight=True, ff_weight_norm=True),
+    dict(share_weight=False),
+    dict(use_fork=True, share_fork=True, ff_weight_norm=True),
+    dict(mode="low-pass"),
+])
+def test_remat_matches_unremat(config):
+    """remat=True must change only what the backward pass saves: identical
+    param tree, identical forward, identical gradients."""
+    kwargs = dict(modes=4, width=8, input_dim=3, n_layers=3, **config)
+    m0 = FNOFactorized2DBlock(remat=False, **kwargs)
+    m1 = FNOFactorized2DBlock(remat=True, **kwargs)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 16, 3))
+    y = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 16, 1))
+    p0 = m0.init(jax.random.PRNGKey(0), x)
+    p1 = m1.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
+
+    def loss(m):
+        def fn(p):
+            return jnp.mean((m.apply(p, x)["forecast"] - y) ** 2)
+        return fn
+
+    o0 = m0.apply(p0, x)["forecast"]
+    o1 = m1.apply(p0, x)["forecast"]
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), rtol=1e-6, atol=1e-7)
+
+    g0 = jax.jit(jax.grad(loss(m0)))(p0)
+    g1 = jax.jit(jax.grad(loss(m1)))(p0)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)

@@ -93,6 +93,29 @@ def test_mesh_3d_forward():
     assert out.shape == (1, 12, 10, 8, 4)
 
 
+def test_mesh_3d_remat_matches_unremat():
+    """remat=True: identical param tree, forward, and gradients."""
+    kwargs = dict(modes_x=3, modes_y=3, modes_z=3, width=8, input_dim=4,
+                  output_dim=4, n_layers=2)
+    m0 = FNOFactorizedMesh3D(remat=False, **kwargs)
+    m1 = FNOFactorizedMesh3D(remat=True, **kwargs)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 12, 10, 8, 1))
+    p0 = m0.init(jax.random.PRNGKey(0), x)
+    p1 = m1.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
+    np.testing.assert_allclose(np.asarray(m0.apply(p0, x)),
+                               np.asarray(m1.apply(p0, x)), rtol=1e-6, atol=1e-7)
+
+    def loss(m):
+        return lambda p: jnp.sum(m.apply(p, x) ** 2)
+
+    g0 = jax.jit(jax.grad(loss(m0)))(p0)
+    g1 = jax.jit(jax.grad(loss(m1)))(p0)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_iphi_shapes_and_identity_scale():
     m = IPhi(width=32)
     x = jax.random.uniform(jax.random.PRNGKey(0), (2, 50, 2))

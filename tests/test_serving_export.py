@@ -104,6 +104,23 @@ def test_export_lowers_unfused_ff(tmp_path):
                                rtol=2e-4, atol=1e-5)
 
 
+def test_export_precision_baked_into_artifact(tmp_path):
+    """precision='highest' must be recorded on the artifact's dots: at TPU
+    default precision two equivalent lowerings differ ~0.5%/matmul, so
+    reproducible serving exports pin full-f32 dots."""
+    from jax import export as jax_export
+
+    routine, state = _routine_and_state()
+    path = str(tmp_path / "hi.stablehlo")
+    export_rollout(routine, state, path, n_steps=2, batch_size=1, size=16,
+                   precision="highest")
+    with open(path, "rb") as f:
+        mlir = jax_export.deserialize(f.read()).mlir_module()
+    assert "HIGHEST" in mlir
+    out = load_exported(path)(jnp.zeros((1, 16, 16, 1)))
+    assert np.asarray(out).shape == (1, 16, 16, 2)
+
+
 def test_multiplatform_export_from_cpu_host(tmp_path):
     """platforms=['cpu','tpu'] lowers for BOTH backends on the CPU host —
     export where you build, serve on the TPU fleet."""
