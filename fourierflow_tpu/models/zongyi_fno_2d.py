@@ -74,10 +74,17 @@ class FNOZongyi2DBlock(nn.Module):
     n_layers: int = 4
     residual: bool = False
     conv_residual: bool = True
+    # Rematerialize each layer in the backward pass (jax.checkpoint);
+    # same parameter tree either way. The deep f32 configs (24-layer
+    # ablation) are the memory-hungry ones here.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, **kwargs):
         x = WNLinear(self.width, name="in_proj")(x)
+        layer_fn = nn.remat(lambda mdl, h: mdl(h)) if self.remat else (
+            lambda mdl, h: mdl(h)
+        )
         for i in range(self.n_layers):
             layer = ZongyiSpectralConv2d(
                 in_dim=self.width,
@@ -86,7 +93,7 @@ class FNOZongyi2DBlock(nn.Module):
                 residual=self.conv_residual,
                 name=f"layers_{i}",
             )
-            x = layer(x) + x if self.residual else layer(x)
+            x = layer_fn(layer, x) + x if self.residual else layer_fn(layer, x)
         x = WNLinear(128)(x)
         x = nn.relu(x)
         x = WNLinear(1)(x)

@@ -180,3 +180,29 @@ def test_hilbert_sort_grid_is_exact_curve():
     perm = hilbert_sort(pos, order=k)
     steps = np.abs(np.diff(pos[perm], axis=0)).sum(axis=1)
     np.testing.assert_array_equal(steps, np.ones(len(pos) - 1))
+
+
+def test_zongyi_remat_matches_unremat():
+    """FNOZongyi2DBlock remat=True: identical tree, forward, gradients."""
+    from fourierflow_tpu.models import FNOZongyi2DBlock
+
+    kwargs = dict(modes1=4, modes2=4, width=8, input_dim=3, n_layers=2,
+                  residual=True)
+    m0 = FNOZongyi2DBlock(remat=False, **kwargs)
+    m1 = FNOZongyi2DBlock(remat=True, **kwargs)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    p0 = m0.init(jax.random.PRNGKey(0), x)
+    p1 = m1.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
+    np.testing.assert_allclose(np.asarray(m0.apply(p0, x)["forecast"]),
+                               np.asarray(m1.apply(p0, x)["forecast"]),
+                               rtol=1e-6, atol=1e-7)
+
+    def loss(m):
+        return lambda p: jnp.sum(m.apply(p, x)["forecast"] ** 2)
+
+    g0 = jax.jit(jax.grad(loss(m0)))(p0)
+    g1 = jax.jit(jax.grad(loss(m1)))(p0)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
