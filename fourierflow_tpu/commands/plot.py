@@ -399,10 +399,10 @@ def step_losses(root: str = "configs", out_path: str = "step_losses.png"):
 
 def _load_vorticity(path: str):
     """Vorticity [sample, x, y, time] from either HDF5 layout: rollout
-    predictions (save_predictions: vorticity/vx/vy [sample,x,y,time]) or
-    generated Kolmogorov trajectories (generate.py: vorticity
-    [traj,time,x,y] + a ``time`` vector). Returns (vorticity, vx, vy)
-    with vx/vy possibly None."""
+    predictions (save_predictions: vorticity/vx/vy [sample,x,y,time],
+    with ``x``/``y`` axis vectors) or generated Kolmogorov trajectories
+    (generate.py: vorticity [traj,time,x,y] + ``elapsed``). Returns
+    (vorticity, vx, vy) with vx/vy possibly None."""
     import h5py
 
     with h5py.File(path, "r") as f:
@@ -410,7 +410,17 @@ def _load_vorticity(path: str):
         vx = np.asarray(f["vx"]) if "vx" in f else None
         vy = np.asarray(f["vy"]) if "vy" in f else None
         t_len = f["time"].shape[0] if "time" in f else None
-    if t_len is not None and w.ndim == 4 and w.shape[1] == t_len != w.shape[-1]:
+        # Writer fingerprints beat shape heuristics (time == grid size is
+        # ambiguous): generate.py always writes `elapsed`, the predictions
+        # writer always writes `x`/`y` axes.
+        if "elapsed" in f:
+            time_first = True
+        elif "x" in f:
+            time_first = False
+        else:
+            time_first = (w.ndim == 4 and t_len is not None
+                          and w.shape[1] == t_len != w.shape[-1])
+    if time_first:
         w = np.moveaxis(w, 1, -1)
         vx = np.moveaxis(vx, 1, -1) if vx is not None else None
         vy = np.moveaxis(vy, 1, -1) if vy is not None else None
@@ -423,9 +433,9 @@ def _energy_spectrum(w, vx=None, vy=None):
     (periodic torus: u_hat = i k_perp w_hat / k^2). Host-side analysis —
     np.fft, never on the TPU path."""
     n = w.shape[1]
+    kx = np.fft.fftfreq(n, 1.0 / n)[:, None]
+    ky = np.fft.fftfreq(n, 1.0 / n)[None, :]
     if vx is None or vy is None:
-        kx = np.fft.fftfreq(n, 1.0 / n)[:, None]
-        ky = np.fft.fftfreq(n, 1.0 / n)[None, :]
         k2 = kx**2 + ky**2
         k2[0, 0] = 1.0
         w_hat = np.fft.fftn(w, axes=(1, 2))
@@ -437,14 +447,11 @@ def _energy_spectrum(w, vx=None, vy=None):
         v_hat = np.fft.fftn(vy, axes=(1, 2))
     # E(kx,ky) per sample/time, normalized so E is grid-size independent
     e2d = 0.5 * (np.abs(u_hat) ** 2 + np.abs(v_hat) ** 2) / n**4
-    kx = np.fft.fftfreq(n, 1.0 / n)[:, None]
-    ky = np.fft.fftfreq(n, 1.0 / n)[None, :]
     shell = np.round(np.sqrt(kx**2 + ky**2)).astype(int)
     n_shells = n // 2
     e_mean = e2d.mean(axis=(0, 3))  # over samples and times
-    spectrum = np.zeros(n_shells)
-    for k in range(n_shells):
-        spectrum[k] = e_mean[shell == k].sum()
+    spectrum = np.bincount(shell.ravel(), weights=e_mean.ravel(),
+                           minlength=n_shells)[:n_shells]
     return np.arange(n_shells), spectrum
 
 
@@ -454,11 +461,15 @@ def energy(inputs: List[str], out_path: str = "energy.png", tail: int = 80,
     ``name=path.h5`` trajectory/prediction files (reference
     plot_energy_spectrum, plot.py:256-307: F-FNO at several resolutions
     vs DNS baselines, log-log, k^5 scaling, trailing-time mean)."""
+    if not inputs:
+        raise ValueError("plot energy requires --inputs name=path.h5 ...")
     curves = {}
     for spec in inputs:
         name, _, path = spec.partition("=")
         if not path:
             name, path = os.path.basename(spec), spec
+        while name in curves:  # duplicate display names must not drop curves
+            name += "'"
         w, vx, vy = _load_vorticity(path)
         sl = slice(-tail, None) if tail else slice(None)
         w = w[..., sl]
@@ -489,6 +500,8 @@ def flows(inputs: List[str], out_path: str = "samples.png", sample: int = 0,
     """Vorticity snapshot grid — rows are trajectories/models, columns are
     times (reference flows, plot.py:139-170: DNS 2048^2 vs F-FNO vs DNS
     at the model grid, times [0, 10, 21])."""
+    if not inputs:
+        raise ValueError("plot flows requires --inputs name=path.h5 ...")
     rows = []
     for spec in inputs:
         name, _, path = spec.partition("=")
