@@ -14,6 +14,8 @@ Baseline: the reference repo stores no absolute throughput numbers
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -59,8 +61,52 @@ def flops_per_train_step(batch, n, width, modes, n_layers, factor, input_dim):
     return 3 * fwd
 
 
+def _wait_for_healthy_device(attempts=4, probe_timeout=120, sleep_s=180):
+    """Wait (bounded) for the TPU relay to answer a tiny matmul.
+
+    A wedged axon relay HANGS rather than erroring, and a hang in this
+    process would eat the caller's whole timeout — so the probe runs in a
+    subprocess that can be killed. This process only touches the device
+    after a probe succeeds (or after all attempts are exhausted, in which
+    case we proceed anyway — no worse than probing nothing). No-op off
+    the TPU relay (cpu/gpu platforms answer immediately).
+    """
+    probe = (
+        # sitecustomize pins the axon platform regardless of env vars;
+        # honor an explicit JAX_PLATFORMS the way tests/conftest.py does
+        # so the probe exercises the same platform the bench will use.
+        "import os\n"
+        "import jax\n"
+        "if os.environ.get('JAX_PLATFORMS'):\n"
+        "    jax.config.update('jax_platforms', os.environ['JAX_PLATFORMS'])\n"
+        "import jax.numpy as jnp\n"
+        "y = jax.jit(lambda a: a @ a)(jnp.ones((256, 256), jnp.bfloat16))\n"
+        "print(float(y[0, 0]))\n"
+    )
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe],
+                timeout=probe_timeout,
+                capture_output=True,
+                env=dict(os.environ),
+            )
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if i < attempts - 1:
+            print(
+                f"bench: device probe {i + 1}/{attempts} failed; "
+                f"retrying in {sleep_s}s",
+                file=sys.stderr,
+            )
+            time.sleep(sleep_s)
+
+
 def main():
     batch, n = 19, 64
+    _wait_for_healthy_device()
     model = FNOFactorized2DBlock(
         modes=16,
         width=64,
