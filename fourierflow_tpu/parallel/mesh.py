@@ -8,10 +8,12 @@ XLA collectives inserted by pjit) and an optional ``spatial`` axis used by
 the large-grid data-generation path.
 
 Design note (SURVEY.md §2.7): F-FNO models are small (<=70M params), so
-params stay replicated; batch is sharded on ``data``. The separable F-FNO
-structure makes spatial sharding natural for >=1024^2 grids: each branch
-FFTs along a single axis, so sharding the *other* axis keeps transforms
-device-local.
+params default to replicated; batch is sharded on ``data``. The separable
+F-FNO structure makes spatial sharding natural for >=1024^2 grids: each
+branch FFTs along a single axis, so sharding the *other* axis keeps
+transforms device-local. For wide configs, ``tp_state_shardings`` adds
+Megatron-style tensor parallelism over a ``model`` axis (FF hidden dims
+and spectral output channels sharded; optimizer state stays distributed).
 """
 
 from typing import Optional
@@ -20,7 +22,13 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch"]
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "tp_state_shardings",
+]
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
@@ -37,6 +45,60 @@ def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def _tp_spec(path: str, shape, axis: str):
+    """PartitionSpec for one F-FNO parameter leaf under Megatron-style
+    tensor parallelism on mesh axis ``axis``.
+
+    Sharded leaves:
+    - feed-forward kernels: the expansion matmul [C, factor*C] splits by
+      output column, the contraction [factor*C, C] by input row, so the
+      [rows, factor*C] hidden activations stay sharded end to end and
+      GSPMD inserts one all-reduce per FF (the classic Megatron MLP cut);
+    - spectral mixing weights [C_in, C_out, M, 2]: split by output
+      channel — ops/spectral.py's per-mode bmm contracts over C_in, so
+      the mixing output is column-sharded with no communication.
+    Everything else (heads, biases, weight-norm g, normalizer, optimizer
+    scalars) is replicated. Matching is by path suffix, so the same rule
+    covers params and their Adam mu/nu clones inside opt_state.
+    """
+    leaf = path.rsplit("/", 1)[-1] if "/" in path else path
+    if "fourier_weight" in leaf and len(shape) == 4:
+        return P(None, axis, None, None)
+    if "_ff" in path and leaf == "kernel" and len(shape) == 2:
+        if shape[1] > shape[0]:  # expansion C -> factor*C
+            return P(None, axis)
+        if shape[0] > shape[1]:  # contraction factor*C -> C
+            return P(axis, None)
+    return P()
+
+
+def tp_state_shardings(state, mesh: Mesh, axis: str = "model"):
+    """NamedSharding pytree (same treedef as ``state``) for a tensor-
+    parallel TrainState: F-FNO channel dims sharded over mesh axis
+    ``axis`` per ``_tp_spec``, everything else replicated.
+
+    The reference has no TP (SURVEY.md §2.7); on TPU the width dimension
+    shards naturally because every hot matmul contracts or produces it.
+    Composes with the ``data`` axis: put the batch on ``data`` and the
+    state through these shardings, then jit the usual train step — XLA
+    emits the gradient all-reduce (data) and the Megatron pair (model).
+    """
+    def _name(entry):
+        for attr in ("key", "name", "idx"):
+            if hasattr(entry, attr):
+                return str(getattr(entry, attr))
+        return str(entry)
+
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(state)
+    shardings = [
+        NamedSharding(
+            mesh, _tp_spec("/".join(_name(e) for e in path), np.shape(leaf), axis)
+        )
+        for path, leaf in leaves
+    ]
+    return jax.tree_util.tree_unflatten(treedef, shardings)
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):

@@ -398,6 +398,61 @@ def test_sharded_train_step_matches_unsharded():
     )
 
 
+def test_tensor_parallel_train_step_matches_unsharded():
+    """Megatron-style tensor parallelism (parallel/mesh.py::
+    tp_state_shardings): FF hidden dims and spectral output channels
+    sharded over a 'model' mesh axis, composed with batch data
+    parallelism. The train step must match the unsharded step exactly and
+    the UPDATED params/opt state must keep their channel sharding (the
+    optimizer runs distributed — that's the memory win). No reference
+    analog (SURVEY.md §2.7: the reference is single-device)."""
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from fourierflow_tpu.parallel.mesh import tp_state_shardings
+
+    devices = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(devices, ("data", "model"))
+
+    # width 16 / factor 4: hidden 64 and channels 16 divide the model axis.
+    routine = _markov_routine(
+        lr=1e-3, n_steps=4, width=16, factor=4, share_weight=False
+    )
+    rng = np.random.RandomState(0)
+    batch = {
+        "x": np.asarray(rng.randn(4, 32, 32, 1), np.float32),
+        "y": np.asarray(rng.randn(4, 32, 32, 1), np.float32),
+    }
+    state0 = routine.init(jax.random.PRNGKey(0), batch)
+    state0 = routine.accumulate_step(state0, batch)
+
+    s_ref, m_ref = jax.jit(routine.train_step)(state0, batch, jax.random.PRNGKey(1))
+
+    specs = tp_state_shardings(state0, mesh)
+    n_sharded = sum(
+        1 for s in jax.tree.leaves(specs, is_leaf=lambda x: isinstance(x, NamedSharding))
+        if s.spec != P()
+    )
+    assert n_sharded >= 12  # 4 fourier + 4 ff kernels in params + mu + nu
+
+    tp_state = jax.device_put(state0, specs)
+    bsh = NamedSharding(mesh, P("data"))
+    tp_batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+    s_tp, m_tp = jax.jit(routine.train_step)(tp_state, tp_batch, jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(
+        float(m_ref["train_loss"]), float(m_tp["train_loss"]), rtol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(s_ref.params), jax.tree.leaves(s_tp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+    # The updated spectral weight must still be column-sharded (the step
+    # didn't silently replicate the distributed state).
+    w = s_tp.params["params"]["layers_0_fourier_weight_x"]
+    spec = tuple(w.sharding.spec)  # XLA may trim trailing Nones
+    assert len(spec) >= 2 and spec[0] is None and spec[1] == "model"
+
+
 def test_graft_entry_dryrun_multichip():
     """Run the driver's multichip dryrun exactly as shipped so the suite
     fails whenever the dryrun would (VERDICT r1: it shipped never-run)."""
