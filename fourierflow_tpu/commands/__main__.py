@@ -107,7 +107,7 @@ def main(argv=None):
     p_plot.add_argument(
         "kind",
         choices=["layers", "correlation", "step-losses", "parameters",
-                 "table", "heatmap", "energy", "flows"],
+                 "table", "heatmap", "energy", "flows", "superresolution"],
     )
     p_plot.add_argument(
         "dataset", nargs="?", default=None,
@@ -226,6 +226,10 @@ def main(argv=None):
             plot_mod.flows(args.inputs or [],
                            out_path=args.out_path or "samples.png",
                            sample=args.sample, times=args.times)
+        elif args.kind == "superresolution":
+            plot_mod.superresolution(
+                args.dataset or "superres_results.json",
+                out_path=args.out_path or "superresolution.png")
         else:
             plot_mod.correlation(args.root, out_path=args.out_path or "correlation.png")
     elif args.command == "convert":

@@ -29,6 +29,10 @@ Coverage of the reference surface:
     :256-307).
   - ``flows`` — vorticity snapshot grid, rows = trajectories/models,
     cols = times (reference flows, :139-170).
+  - ``superresolution`` — rollout metrics vs evaluation grid for a
+    fixed-resolution checkpoint (reference superresolution /
+    plot_correlation_vs_time_of_different_grid_sizes, :66-75, :341-456),
+    fed by ``scripts/superres_eval.py`` output.
 """
 
 import glob
@@ -54,6 +58,7 @@ __all__ = [
     "heatmap",
     "energy",
     "flows",
+    "superresolution",
 ]
 
 # The reference's Tables A.3-A.6 (plot.py:617-731): rows are (display
@@ -532,6 +537,50 @@ def flows(inputs: List[str], out_path: str = "samples.png", sample: int = 0,
     fig.savefig(out_path, bbox_inches="tight", dpi=120)
     logger.info("wrote %s", out_path)
     return out_path
+
+
+def superresolution(results_path: str,
+                    out_path: str = "superresolution.png",
+                    train_size: int = 64):
+    """Super-resolution transfer figure: rollout correlation and
+    stable-horizon (time_until rho>=0.95) vs evaluation grid size for a
+    checkpoint trained at one resolution (reference superresolution /
+    plot_correlation_vs_time_of_different_grid_sizes, plot.py:66-75,
+    341-456 — there driven from wandb; here from the
+    ``superres_results.json`` that ``scripts/superres_eval.py`` writes).
+    """
+    with open(results_path) as f:
+        results = json.load(f)
+    sizes = sorted(int(s) for s in results)
+    corr = [results[str(s)]["corr"] for s in sizes]
+    tu = [results[str(s)]["time_until"] for s in sizes]
+
+    print("| eval grid | rollout corr | time_until (rho>=0.95) |")
+    print("|---|---|---|")
+    for s, c, t in zip(sizes, corr, tu):
+        mark = " (train)" if s == train_size else ""
+        print(f"| {s}²{mark} | {c:.3f} | {t:.2f} sim-s |")
+
+    plt = _pyplot()
+    if plt is None:
+        logger.warning("matplotlib unavailable; table printed only")
+        return
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(8, 3.2), sharex=True)
+    for ax, ys, label in ((ax1, corr, "mean rollout correlation"),
+                          (ax2, tu, "time until rho<0.95 (sim-s)")):
+        ax.plot(sizes, ys, "o-", color="#335C81")
+        ax.axvline(train_size, color="#888", ls="--", lw=1,
+                   label=f"training res {train_size}²")
+        ax.set_xscale("log", base=2)
+        ax.set_xticks(sizes)
+        ax.set_xticklabels([f"{s}²" for s in sizes])
+        ax.set_xlabel("evaluation grid")
+        ax.set_ylabel(label)
+        ax.grid(alpha=0.3)
+    ax1.legend(frameon=False, fontsize=8)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150, bbox_inches="tight")
+    logger.info("wrote %s", out_path)
 
 
 def heatmap(sample_path: str, step: int = -1, out_prefix: str = "field"):

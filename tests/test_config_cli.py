@@ -306,6 +306,31 @@ def test_plot_reference_tables_and_figures(tmp_path):
     assert (tmp_path / "table.md").exists()
 
 
+def test_plot_superresolution(tmp_path, capsys):
+    """`plot superresolution` renders the super-res transfer figure and
+    table from a superres_results.json (scripts/superres_eval.py output;
+    reference plot.py:66-75, 341-456)."""
+    import json as _json
+
+    from fourierflow_tpu.commands.__main__ import main as cli
+
+    results = {
+        "32": {"loss": 0.9, "corr": 0.61, "time_until": 1.4},
+        "64": {"loss": 0.6, "corr": 0.79, "time_until": 3.6},
+        "128": {"loss": 0.7, "corr": 0.74, "time_until": 2.5},
+    }
+    path = tmp_path / "superres_results.json"
+    path.write_text(_json.dumps(results))
+    cli(["plot", "superresolution", str(path),
+         "--out-path", str(tmp_path / "sr.png")])
+    out = capsys.readouterr().out
+    assert "64² (train)" in out and "3.60" in out
+    import os
+
+    if os.path.exists(str(tmp_path / "sr.png")):  # matplotlib present
+        assert os.path.getsize(str(tmp_path / "sr.png")) > 0
+
+
 def test_plot_energy_spectrum_and_flows(tmp_path):
     """`plot energy` / `plot flows` (reference plot.py:256-307, 139-170)
     over local HDF5 files, both layouts: a single-mode velocity field
