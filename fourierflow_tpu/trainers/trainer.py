@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..parallel.mesh import make_mesh, shard_batch
+from ..parallel.mesh import make_mesh, shard_batch, tp_state_shardings
 from ..routines.base import Routine, TrainState
 from ..utils.chunking import bounded_schedule, rate_to_chunk
 
@@ -211,6 +211,7 @@ class Trainer:
         mesh=None,
         fast_loop: bool = True,
         chunk_steps="auto",
+        tensor_parallel: int = 1,
     ):
         self.chunk_steps = chunk_steps
         self.max_epochs = max_epochs
@@ -222,7 +223,24 @@ class Trainer:
         self.check_val_every_n_epoch = check_val_every_n_epoch
         self.fast_loop = fast_loop
         self.mesh = mesh
-        if mesh is None and data_parallel and len(jax.devices()) > 1:
+        self.tensor_parallel = tensor_parallel
+        if mesh is None and tensor_parallel > 1:
+            # data x model mesh: batch on 'data', F-FNO channel dims on
+            # 'model' (parallel/mesh.py::tp_state_shardings).
+            from jax.sharding import Mesh
+
+            devs = jax.devices()
+            n = (len(devs) // tensor_parallel) * tensor_parallel
+            if n < tensor_parallel:
+                raise ValueError(
+                    f"tensor_parallel={tensor_parallel} needs at least that "
+                    f"many devices; have {len(devs)}"
+                )
+            self.mesh = Mesh(
+                np.asarray(devs[:n]).reshape(-1, tensor_parallel),
+                ("data", "model"),
+            )
+        elif mesh is None and data_parallel and len(jax.devices()) > 1:
             self.mesh = make_mesh()
         self.logs = {}
         self.current_epoch = 0
@@ -250,6 +268,10 @@ class Trainer:
 
         if state is None:
             state = routine.init(jax.random.PRNGKey(self.seed), builder.sample_batch())
+        if self.tensor_parallel > 1 and self.mesh is not None:
+            # Distribute params + optimizer state over the 'model' axis;
+            # jit'd steps then run tensor-parallel with XLA's collectives.
+            state = jax.device_put(state, tp_state_shardings(state, self.mesh))
         logger.info("n_params = %d", routine.n_params(state))
         self.logs["n_params"] = routine.n_params(state)
 

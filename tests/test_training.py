@@ -77,6 +77,47 @@ def test_markov_end_to_end(synthetic_dataset, tmp_path):
     assert logs["test_correlations"].shape == (5,)
 
 
+def test_trainer_tensor_parallel_end_to_end(synthetic_dataset):
+    """Trainer(tensor_parallel=2): full fit with params + optimizer state
+    distributed over the 'model' mesh axis must reproduce the
+    single-device run's losses (sharding changes layout, not math)."""
+    from jax.sharding import PartitionSpec as P
+
+    def run(**trainer_kwargs):
+        builder = NSMarkovBuilder(
+            synthetic_dataset, train_size=16, test_size=4, ssr=1, batch_size=8
+        )
+        routine = _markov_routine(
+            lr=3e-3, width=16, factor=4, share_weight=False, n_steps=4
+        )
+        # fast_loop off so both runs use the identical per-batch loop
+        # (the no-mesh fast path draws a different shuffle/noise stream).
+        trainer = Trainer(max_epochs=2, seed=0, fast_loop=False, **trainer_kwargs)
+        state = trainer.fit(routine, builder)
+        return trainer, state
+
+    t_ref, s_ref = run(data_parallel=False)
+    t_tp, s_tp = run(tensor_parallel=2)
+    assert dict(t_tp.mesh.shape) == {"data": 4, "model": 2}
+
+    np.testing.assert_allclose(
+        t_ref.logs["train_loss"], t_tp.logs["train_loss"], rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        t_ref.logs["valid_loss"], t_tp.logs["valid_loss"], rtol=1e-3
+    )
+    # Params stayed distributed through the whole fit.
+    w = s_tp.params["params"]["layers_0_backcast_ff"]["WNLinear_0"]["kernel"]
+    assert tuple(w.sharding.spec)[-1] == "model"
+    # Adam scales per-element, amplifying reduction-order drift over the
+    # fit; exact single-step parity is covered by
+    # test_tensor_parallel_train_step_matches_unsharded.
+    for a, b in zip(jax.tree.leaves(s_ref.params), jax.tree.leaves(s_tp.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-2, atol=5e-4
+        )
+
+
 def test_markov_loss_decreases(synthetic_dataset):
     builder = NSMarkovBuilder(
         synthetic_dataset, train_size=16, test_size=4, ssr=1, batch_size=8
