@@ -61,16 +61,19 @@ def flops_per_train_step(batch, n, width, modes, n_layers, factor, input_dim):
     return 3 * fwd
 
 
-def _wait_for_healthy_device(attempts=4, probe_timeout=120, sleep_s=180):
+def _wait_for_healthy_device(attempts=8, probe_timeout=120, sleep_s=240):
     """Wait (bounded) for the TPU relay to answer a tiny matmul.
 
     A wedged axon relay HANGS rather than erroring, and a hang in this
     process would eat the caller's whole timeout — so the probe runs in a
     subprocess that can be killed. This process only touches the device
     after a probe succeeds (or after all attempts are exhausted, in which
-    case we proceed anyway — no worse than probing nothing). No-op off
-    the TPU relay (cpu/gpu platforms answer immediately).
+    case we proceed anyway — no worse than probing nothing). The default
+    window (8 x 120 s probes + 7 x 240 s sleeps ~ 44 min) outlasts the
+    relay's measured 30+ min wedge after a worker fault. No-op off the
+    TPU relay (cpu/gpu platforms answer immediately).
     """
+    last_err = ""
     probe = (
         # sitecustomize pins the axon platform regardless of env vars;
         # honor an explicit JAX_PLATFORMS the way tests/conftest.py does
@@ -89,12 +92,14 @@ def _wait_for_healthy_device(attempts=4, probe_timeout=120, sleep_s=180):
                 [sys.executable, "-c", probe],
                 timeout=probe_timeout,
                 capture_output=True,
+                text=True,
                 env=dict(os.environ),
             )
             if r.returncode == 0:
                 return
+            last_err = (r.stderr or "").strip()[-500:]
         except subprocess.TimeoutExpired:
-            pass
+            last_err = f"probe timed out after {probe_timeout}s (relay hang)"
         if i < attempts - 1:
             print(
                 f"bench: device probe {i + 1}/{attempts} failed; "
@@ -102,6 +107,11 @@ def _wait_for_healthy_device(attempts=4, probe_timeout=120, sleep_s=180):
                 file=sys.stderr,
             )
             time.sleep(sleep_s)
+    print(
+        f"bench: device never answered after {attempts} probes; last error: "
+        f"{last_err or 'none captured'}; proceeding anyway",
+        file=sys.stderr,
+    )
 
 
 def main():

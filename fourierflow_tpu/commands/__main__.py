@@ -129,6 +129,9 @@ def main(argv=None):
                         help="for 'energy': trailing time window to average")
     p_plot.add_argument("--sample", type=int, default=0,
                         help="for 'flows': sample index")
+    p_plot.add_argument("--train-size", type=int, default=64,
+                        help="for 'superresolution': the checkpoint's "
+                             "training grid size (marks the figure)")
 
     p_conv = sub.add_parser("convert", help="convert meshgraphnets TFRecords to HDF5")
     conv_sub = p_conv.add_subparsers(dest="converter", required=True)
@@ -229,7 +232,8 @@ def main(argv=None):
         elif args.kind == "superresolution":
             plot_mod.superresolution(
                 args.dataset or "superres_results.json",
-                out_path=args.out_path or "superresolution.png")
+                out_path=args.out_path or "superresolution.png",
+                train_size=args.train_size)
         else:
             plot_mod.correlation(args.root, out_path=args.out_path or "correlation.png")
     elif args.command == "convert":

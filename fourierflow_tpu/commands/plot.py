@@ -33,6 +33,15 @@ Coverage of the reference surface:
     fixed-resolution checkpoint (reference superresolution /
     plot_correlation_vs_time_of_different_grid_sizes, :66-75, :341-456),
     fed by ``scripts/superres_eval.py`` output.
+
+Not ported verbatim: the reference's ``context`` (:98-138) and
+``poster`` (:753-758) hardcode the author's wandb numbers into the
+script; ``coordinates``/``resolution``/``torus_li_performance``/
+``complexity`` are fixed page-layout compositions of the same helpers
+covered above. Their data comes out of this module's generic ``table``
+/ ``layers`` / ``correlation`` over the corresponding experiment groups
+(e.g. ``table --root configs/torus_vis`` reproduces the context-ablation
+comparison from local runs).
 """
 
 import glob
@@ -564,7 +573,7 @@ def superresolution(results_path: str,
     plt = _pyplot()
     if plt is None:
         logger.warning("matplotlib unavailable; table printed only")
-        return
+        return None
     fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(8, 3.2), sharex=True)
     for ax, ys, label in ((ax1, corr, "mean rollout correlation"),
                           (ax2, tu, "time until rho<0.95 (sim-s)")):
@@ -579,8 +588,9 @@ def superresolution(results_path: str,
         ax.grid(alpha=0.3)
     ax1.legend(frameon=False, fontsize=8)
     fig.tight_layout()
-    fig.savefig(out_path, dpi=150, bbox_inches="tight")
+    fig.savefig(out_path, dpi=120, bbox_inches="tight")
     logger.info("wrote %s", out_path)
+    return out_path
 
 
 def heatmap(sample_path: str, step: int = -1, out_prefix: str = "field"):

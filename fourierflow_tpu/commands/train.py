@@ -80,6 +80,8 @@ def build_trainer(trainer_cfg: dict, callbacks=()):
         log_every_n_steps=cfg.get("log_every_n_steps", 100),
         check_val_every_n_epoch=cfg.get("check_val_every_n_epoch", 1),
         callbacks=list(callbacks),
+        tensor_parallel=cfg.get("tensor_parallel", 1),
+        data_parallel=cfg.get("data_parallel", True),
     )
 
 

@@ -24,6 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
     "make_mesh",
+    "make_tp_mesh",
     "batch_sharding",
     "replicated",
     "shard_batch",
@@ -36,6 +37,33 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
+
+
+def make_tp_mesh(tensor_parallel: int, n_devices: Optional[int] = None) -> Mesh:
+    """data x model mesh: the model axis carries ``tensor_parallel``
+    shards, the data axis everything else. Devices that don't fill a
+    whole data row are dropped (with a log line)."""
+    import logging
+
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    if len(devices) < tensor_parallel:
+        raise ValueError(
+            f"tensor_parallel={tensor_parallel} needs at least that many "
+            f"devices; have {len(devices)}"
+        )
+    n = (len(devices) // tensor_parallel) * tensor_parallel
+    if n < len(devices):
+        logging.getLogger(__name__).warning(
+            "make_tp_mesh: dropping %d of %d devices (not divisible by "
+            "tensor_parallel=%d)", len(devices) - n, len(devices),
+            tensor_parallel,
+        )
+    return Mesh(
+        np.asarray(devices[:n]).reshape(-1, tensor_parallel),
+        ("data", "model"),
+    )
 
 
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
@@ -103,9 +131,11 @@ def tp_state_shardings(state, mesh: Mesh, axis: str = "model"):
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     """device_put a dict of host arrays with the batch axis sharded over
-    the mesh. Arrays whose batch dim doesn't divide the mesh are
-    replicated instead (e.g. scalars/metadata)."""
-    n = mesh.devices.size
+    the mesh's ``axis``. Arrays whose batch dim doesn't divide that axis
+    are replicated instead (e.g. scalars/metadata). Divisibility is
+    against the named axis size, not the whole mesh: on a 2D
+    data x model mesh only the data extent matters."""
+    n = mesh.shape[axis]
     sharded = batch_sharding(mesh, axis)
     repl = replicated(mesh)
 

@@ -17,7 +17,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..parallel.mesh import make_mesh, shard_batch, tp_state_shardings
+from ..parallel.mesh import (
+    make_mesh,
+    make_tp_mesh,
+    shard_batch,
+    tp_state_shardings,
+)
 from ..routines.base import Routine, TrainState
 from ..utils.chunking import bounded_schedule, rate_to_chunk
 
@@ -227,21 +232,17 @@ class Trainer:
         if mesh is None and tensor_parallel > 1:
             # data x model mesh: batch on 'data', F-FNO channel dims on
             # 'model' (parallel/mesh.py::tp_state_shardings).
-            from jax.sharding import Mesh
-
-            devs = jax.devices()
-            n = (len(devs) // tensor_parallel) * tensor_parallel
-            if n < tensor_parallel:
-                raise ValueError(
-                    f"tensor_parallel={tensor_parallel} needs at least that "
-                    f"many devices; have {len(devs)}"
-                )
-            self.mesh = Mesh(
-                np.asarray(devs[:n]).reshape(-1, tensor_parallel),
-                ("data", "model"),
-            )
+            self.mesh = make_tp_mesh(tensor_parallel)
         elif mesh is None and data_parallel and len(jax.devices()) > 1:
             self.mesh = make_mesh()
+        if self.mesh is not None and fast_loop:
+            # The device-resident scanned-epoch fast path is single-shard
+            # only; with a mesh every batch goes through the per-step
+            # upload loop (slow on the relay — see module docstring).
+            logger.info(
+                "mesh %s set: device-resident scan-epoch fast path "
+                "disabled, using the per-batch loop", dict(self.mesh.shape)
+            )
         self.logs = {}
         self.current_epoch = 0
         self.global_step = 0

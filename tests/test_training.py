@@ -389,6 +389,10 @@ def test_track_grad_norm_and_fast_dev_run(synthetic_dataset):
     state = trainer.fit(routine, builder)
     assert trainer.current_epoch == 1
 
+    # trainer config reaches the TP knob (config-level tensor parallelism)
+    tp_trainer = build_trainer({"max_epochs": 1, "tensor_parallel": 2})
+    assert dict(tp_trainer.mesh.shape) == {"data": 4, "model": 2}
+
 
 def test_sharded_train_step_matches_unsharded():
     """The data x spatial mesh through the spectral layers — the exact path
