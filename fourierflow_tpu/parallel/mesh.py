@@ -93,7 +93,11 @@ def _tp_spec(path: str, shape, axis: str):
     """
     leaf = path.rsplit("/", 1)[-1] if "/" in path else path
     if "fourier_weight" in leaf and len(shape) == 4:
+        # factorized family: [C_in, C_out, M, 2]
         return P(None, axis, None, None)
+    if "fourier_weight" in leaf and len(shape) == 5:
+        # Zongyi dense family: [C_in, C_out, M, M, 2]
+        return P(None, axis, None, None, None)
     if "_ff" in path and leaf == "kernel" and len(shape) == 2:
         if shape[1] > shape[0]:  # expansion C -> factor*C
             return P(None, axis)

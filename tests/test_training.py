@@ -498,6 +498,47 @@ def test_tensor_parallel_train_step_matches_unsharded():
     assert len(spec) >= 2 and spec[0] is None and spec[1] == "model"
 
 
+def test_tensor_parallel_zongyi_dense_weights():
+    """The TP rule also shards the Zongyi dense spectral weights
+    [C_in, C_out, M, M, 2] by output channel; one sharded train step
+    matches the unsharded step."""
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from fourierflow_tpu.parallel.mesh import make_tp_mesh, tp_state_shardings
+
+    model = FNOZongyi2DBlock(modes1=4, modes2=4, width=16, input_dim=3, n_layers=2)
+    routine = Grid2DMarkovRoutine(
+        model,
+        n_steps=4,
+        max_accumulations=100,
+        noise_std=0.0,
+        optimizer=make_optimizer(
+            schedule=cosine_with_warmup(1e-3, 10, 500), weight_decay=1e-4
+        ),
+    )
+    rng = np.random.RandomState(0)
+    batch = {
+        "x": np.asarray(rng.randn(4, 32, 32, 1), np.float32),
+        "y": np.asarray(rng.randn(4, 32, 32, 1), np.float32),
+    }
+    state = routine.init(jax.random.PRNGKey(0), batch)
+    state = routine.accumulate_step(state, batch)
+    _, m_ref = jax.jit(routine.train_step)(state, batch, jax.random.PRNGKey(1))
+
+    mesh = make_tp_mesh(2)
+    specs = tp_state_shardings(state, mesh)
+    assert sum(1 for s in jax.tree.leaves(specs) if s.spec != P()) == 12
+    tp_state = jax.device_put(state, specs)
+    tp_batch = {
+        k: jax.device_put(v, NamedSharding(mesh, P("data"))) for k, v in batch.items()
+    }
+    _, m_tp = jax.jit(routine.train_step)(tp_state, tp_batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(
+        float(m_ref["train_loss"]), float(m_tp["train_loss"]), rtol=1e-5
+    )
+
+
 def test_graft_entry_dryrun_multichip():
     """Run the driver's multichip dryrun exactly as shipped so the suite
     fails whenever the dryrun would (VERDICT r1: it shipped never-run)."""
