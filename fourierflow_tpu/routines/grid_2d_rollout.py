@@ -43,8 +43,10 @@ class Grid2DRolloutRoutine(Routine):
         self.step_size = step_size
         if use_fourier_position:
             raise NotImplementedError(
-                "use_fourier_position is an unused reference ablation "
-                "(grid_2d_rollout.py:37-38); not ported."
+                "use_fourier_position: no reference config reaches this "
+                "path through the rollout routine (the sinusoidal ablation "
+                "uses Grid2DMarkovRoutine, where fourier positions are "
+                "implemented); see PARITY.md deviation #13."
             )
 
     def init(self, key, sample_batch) -> TrainState:
