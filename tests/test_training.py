@@ -498,6 +498,19 @@ def test_tensor_parallel_train_step_matches_unsharded():
     assert len(spec) >= 2 and spec[0] is None and spec[1] == "model"
 
 
+def test_make_tp_mesh_edge_cases():
+    """make_tp_mesh drops non-dividing devices (with a warning) and
+    rejects tensor_parallel larger than the device count."""
+    import pytest as _pytest
+
+    from fourierflow_tpu.parallel.mesh import make_tp_mesh
+
+    mesh = make_tp_mesh(3)  # 8 devices -> 2x3 mesh, 2 dropped
+    assert dict(mesh.shape) == {"data": 2, "model": 3}
+    with _pytest.raises(ValueError):
+        make_tp_mesh(9)
+
+
 def test_tensor_parallel_zongyi_dense_weights():
     """The TP rule also shards the Zongyi dense spectral weights
     [C_in, C_out, M, M, 2] by output channel; one sharded train step
