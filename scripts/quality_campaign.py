@@ -138,6 +138,10 @@ def main():
     p.add_argument("--precision", default="bf16", choices=["bf16", "f32"])
     p.add_argument("--gen-batch", type=int, default=8)
     p.add_argument("--n-layers", type=int, default=24)
+    p.add_argument("--noise-std", type=float, default=0.01,
+                   help="training-noise injection std (reference markov "
+                        "configs use 0.01; the paper credits it for "
+                        "rollout stability)")
     p.add_argument("--subset", type=int, default=None,
                    help="train on only the first N trajectories of the "
                         "generated dataset (data-scaling ablations)")
@@ -215,7 +219,7 @@ def main():
         # Reference: accumulate stats over exactly one epoch of batches
         # (torus_kochkov config max_accumulations = batches/epoch).
         max_accumulations=args.max_acc or steps_per_epoch,
-        noise_std=0.01,
+        noise_std=args.noise_std,
         step_size=args.dt * args.inner * args.k,
         optimizer=make_optimizer(
             schedule=cosine_with_warmup(args.lr, args.warmup_steps, total_steps),
