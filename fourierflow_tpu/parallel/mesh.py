@@ -123,13 +123,23 @@ def tp_state_shardings(state, mesh: Mesh, axis: str = "model"):
                 return str(getattr(entry, attr))
         return str(entry)
 
+    n_model = mesh.shape[axis]
+
+    def _valid(spec, shape):
+        # Downgrade to replicated when a sharded dim doesn't divide the
+        # model axis (e.g. odd widths on a large mesh) — a NamedSharding
+        # with a non-dividing dim would make device_put raise.
+        for dim, name in zip(shape, tuple(spec) + (None,) * len(shape)):
+            if name == axis and dim % n_model != 0:
+                return P()
+        return spec
+
     leaves, treedef = jax.tree_util.tree_flatten_with_path(state)
-    shardings = [
-        NamedSharding(
-            mesh, _tp_spec("/".join(_name(e) for e in path), np.shape(leaf), axis)
-        )
-        for path, leaf in leaves
-    ]
+    shardings = []
+    for path, leaf in leaves:
+        shape = np.shape(leaf)
+        spec = _tp_spec("/".join(_name(e) for e in path), shape, axis)
+        shardings.append(NamedSharding(mesh, _valid(spec, shape)))
     return jax.tree_util.tree_unflatten(treedef, shardings)
 
 

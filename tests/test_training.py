@@ -498,6 +498,36 @@ def test_tensor_parallel_train_step_matches_unsharded():
     assert len(spec) >= 2 and spec[0] is None and spec[1] == "model"
 
 
+def test_tp_shardings_downgrade_on_indivisible_dims():
+    """Channel dims that don't divide the model axis fall back to
+    replicated instead of producing an invalid NamedSharding (width 12 on
+    an 8-way model axis: fourier weights replicate, the 48-wide FF hidden
+    stays sharded)."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from fourierflow_tpu.parallel.mesh import make_tp_mesh, tp_state_shardings
+
+    model = FNOFactorized2DBlock(
+        modes=3, width=12, input_dim=3, n_layers=1,
+        share_weight=True, factor=4, ff_weight_norm=True,
+    )
+    params = model.init(jax.random.PRNGKey(0), jnp.ones((2, 16, 16, 3)))
+    mesh = make_tp_mesh(8)
+    specs = tp_state_shardings(params, mesh)
+    by_spec = {}
+    for (path, leaf), s in zip(
+        jax.tree_util.tree_flatten_with_path(params)[0], jax.tree.leaves(specs)
+    ):
+        by_spec[jax.tree_util.keystr(path)] = s.spec
+    assert by_spec["['params']['fourier_weight_x']"] == P()  # 12 % 8 != 0
+    assert (
+        by_spec["['params']['layers_0_backcast_ff']['WNLinear_0']['kernel']"]
+        == P(None, "model")
+    )
+    jax.device_put(params, specs)  # must not raise
+
+
 def test_make_tp_mesh_edge_cases():
     """make_tp_mesh drops non-dividing devices (with a warning) and
     rejects tensor_parallel larger than the device count."""
