@@ -107,7 +107,8 @@ def main(argv=None):
     p_plot.add_argument(
         "kind",
         choices=["layers", "correlation", "step-losses", "parameters",
-                 "table", "heatmap", "energy", "flows", "superresolution"],
+                 "table", "heatmap", "energy", "flows", "superresolution",
+                 "ablation"],
     )
     p_plot.add_argument(
         "dataset", nargs="?", default=None,
@@ -132,6 +133,11 @@ def main(argv=None):
     p_plot.add_argument("--train-size", type=int, default=64,
                         help="for 'superresolution': the checkpoint's "
                              "training grid size (marks the figure)")
+    p_plot.add_argument("--xlabel", default="parameter",
+                        help="for 'ablation': swept-parameter axis label")
+    p_plot.add_argument("--metrics", nargs="+", default=None,
+                        help="for 'ablation': campaign_log.jsonl keys to "
+                             "plot (default valid_time_until, train_loss)")
 
     p_conv = sub.add_parser("convert", help="convert meshgraphnets TFRecords to HDF5")
     conv_sub = p_conv.add_subparsers(dest="converter", required=True)
@@ -234,6 +240,10 @@ def main(argv=None):
                 args.dataset or "superres_results.json",
                 out_path=args.out_path or "superresolution.png",
                 train_size=args.train_size)
+        elif args.kind == "ablation":
+            plot_mod.ablation(args.inputs or [],
+                              out_path=args.out_path or "ablation.png",
+                              xlabel=args.xlabel, metrics=args.metrics)
         else:
             plot_mod.correlation(args.root, out_path=args.out_path or "correlation.png")
     elif args.command == "convert":

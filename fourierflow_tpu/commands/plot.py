@@ -68,6 +68,7 @@ __all__ = [
     "energy",
     "flows",
     "superresolution",
+    "ablation",
 ]
 
 # The reference's Tables A.3-A.6 (plot.py:617-731): rows are (display
@@ -544,6 +545,65 @@ def flows(inputs: List[str], out_path: str = "samples.png", sample: int = 0,
         axes[i][0].set_ylabel(name, fontsize=8)
     fig.tight_layout()
     fig.savefig(out_path, bbox_inches="tight", dpi=120)
+    logger.info("wrote %s", out_path)
+    return out_path
+
+
+def ablation(inputs: List[str], out_path: str = "ablation.png",
+             xlabel: str = "parameter",
+             metrics: Optional[List[str]] = None):
+    """Sweep figure: final campaign metrics vs a swept scalar (reference
+    plot_varying_step_size, plot.py:458-525 — there pulling
+    `valid_time_until` per step-size group from wandb; here from local
+    ``campaign_log.jsonl`` files).
+
+    ``inputs`` are ``value=path`` pairs, e.g.
+    ``0.28=/root/data/kochkov512/runs/ffno_ref/campaign_log.jsonl``.
+    Plots each requested metric's final value against the swept value
+    (default: valid_time_until and train_loss) and prints the table.
+    """
+    metrics = metrics or ["valid_time_until", "train_loss"]
+    rows = []
+    for item in inputs:
+        val, path = item.split("=", 1)
+        records = []
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    records.append(json.loads(line))
+        final = {}
+        for m in metrics:
+            vals = [r[m] for r in records if m in r]
+            if vals:
+                final[m] = vals[-1]
+        rows.append((float(val), final))
+    rows.sort(key=lambda r: r[0])
+
+    print("| " + xlabel + " | " + " | ".join(metrics) + " |")
+    print("|" + "---|" * (len(metrics) + 1))
+    for val, final in rows:
+        cells = [f"{final.get(m, float('nan')):.4g}" for m in metrics]
+        print(f"| {val:g} | " + " | ".join(cells) + " |")
+
+    plt = _pyplot()
+    if plt is None:
+        logger.warning("matplotlib unavailable; table printed only")
+        return None
+    fig, axes = plt.subplots(
+        1, len(metrics), figsize=(4 * len(metrics), 3.2), squeeze=False
+    )
+    xs = [r[0] for r in rows]
+    for ax, m in zip(axes[0], metrics):
+        ys = [r[1].get(m, float("nan")) for r in rows]
+        ax.plot(xs, ys, "o-", color="#335C81")
+        ax.set_xlabel(xlabel)
+        ax.set_ylabel(m)
+        if len(xs) > 2 and xs[0] > 0 and xs[-1] / xs[0] >= 8:
+            ax.set_xscale("log")
+        ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120, bbox_inches="tight")
     logger.info("wrote %s", out_path)
     return out_path
 

@@ -306,6 +306,36 @@ def test_plot_reference_tables_and_figures(tmp_path):
     assert (tmp_path / "table.md").exists()
 
 
+def test_plot_ablation(tmp_path, capsys):
+    """`plot ablation` renders final campaign metrics vs a swept scalar
+    from campaign_log.jsonl files (reference plot_varying_step_size,
+    plot.py:458-525)."""
+    import json as _json
+
+    from fourierflow_tpu.commands.__main__ import main as cli
+
+    inputs = []
+    for val, tu, loss in ((0.0, 1.5, 0.02), (0.01, 3.9, 0.03), (0.1, 2.2, 0.08)):
+        path = tmp_path / f"log_{val}.jsonl"
+        with open(path, "w") as f:
+            f.write(_json.dumps({"epoch": 1, "train_loss": loss * 2}) + "\n")
+            f.write(
+                _json.dumps(
+                    {"epoch": 2, "train_loss": loss, "valid_time_until": tu}
+                )
+                + "\n"
+            )
+        inputs.append(f"{val}={path}")
+    cli(["plot", "ablation", "--inputs", *inputs, "--xlabel", "noise std",
+         "--out-path", str(tmp_path / "abl.png")])
+    out = capsys.readouterr().out
+    assert "| noise std |" in out and "3.9" in out and "0.08" in out
+    import os
+
+    if os.path.exists(str(tmp_path / "abl.png")):
+        assert os.path.getsize(str(tmp_path / "abl.png")) > 0
+
+
 def test_plot_superresolution(tmp_path, capsys):
     """`plot superresolution` renders the super-res transfer figure and
     table from a superres_results.json (scripts/superres_eval.py output;
