@@ -9,7 +9,7 @@ evaluation share the same scanned unroll.
 import jax
 import jax.numpy as jnp
 
-from ..layers import lp_loss_rel
+from ..layers import encode_positions, lp_loss_rel
 from .base import Routine, TrainState
 
 __all__ = ["Grid2DRolloutRoutine"]
@@ -41,17 +41,31 @@ class Grid2DRolloutRoutine(Routine):
         self.append_pos = append_pos
         self.teacher_forcing = teacher_forcing
         self.step_size = step_size
-        if use_fourier_position:
-            raise NotImplementedError(
-                "use_fourier_position: no reference config reaches this "
-                "path through the rollout routine (the sinusoidal ablation "
-                "uses Grid2DMarkovRoutine, where fourier positions are "
-                "implemented); see PARITY.md deviation #13."
-            )
+        # Learned-embedding variant (reference grid_2d_rollout.py:37-38,
+        # 84-95,130-132): drop the 2 linspace position channels, project the
+        # raw window through a learned Linear into the fourier-position
+        # feature space and add the (fixed) fourier encodings; the rollout
+        # re-projects the shifted window every step.
+        self.pos_size = 2 * (2 * num_freq_bands + 1)
 
     def init(self, key, sample_batch) -> TrainState:
         xx = jnp.asarray(sample_batch["x"])
-        params = self.model.init(key, xx)
+        if not self.use_fourier_position:
+            params = self.model.init(key, xx)
+            return self.make_train_state(params)
+        # window = input channels minus the builder's 2 position channels
+        # (the reference hardcodes Linear(n_steps, 34); we derive both dims)
+        window = xx.shape[-1] - 2
+        k_in, k_conv = jax.random.split(key)
+        bound = 1.0 / (window ** 0.5)
+        kernel = jax.random.uniform(
+            k_in, (window, self.pos_size), xx.dtype, -bound, bound)
+        bias = jax.random.uniform(
+            jax.random.fold_in(k_in, 1), (self.pos_size,), xx.dtype, -bound, bound)
+        embeds = jnp.zeros(xx.shape[:-1] + (self.pos_size,), xx.dtype)
+        conv_params = self.model.init(k_conv, embeds)
+        params = {"conv": conv_params,
+                  "in_proj": {"kernel": kernel, "bias": bias}}
         return self.make_train_state(params)
 
     def _unroll(self, params, xx, yy, training: bool):
@@ -60,27 +74,47 @@ class Grid2DRolloutRoutine(Routine):
         b, sx, sy, _ = xx.shape
         p_chan = 2 if self.append_pos else 0
 
-        ticks = jnp.linspace(0, 1, sx, dtype=xx.dtype)
-        grid_x = jnp.broadcast_to(ticks[None, :, None, None], (b, sx, sy, 1))
-        grid_y = jnp.broadcast_to(ticks[None, None, :, None], (b, sx, sy, 1))
-        pos_feats = jnp.concatenate([grid_x, grid_y], axis=-1)
+        if self.use_fourier_position:
+            conv_params = params["conv"]
+            kernel = params["in_proj"]["kernel"]
+            bias = params["in_proj"]["bias"]
+            pos_feats = encode_positions(
+                [sx, sy], fourier=True, max_freq=self.k_max,
+                num_bands=self.num_freq_bands, base=self.freq_base,
+                dtype=xx.dtype,
+            )  # [X, Y, pos_size]
 
-        def step(embeds, y_t):
-            out = self.model.apply(params, embeds)["forecast"]
+            def embed(window):
+                return window @ kernel + bias + pos_feats
+        else:
+            conv_params = params
+            ticks = jnp.linspace(0, 1, sx, dtype=xx.dtype)
+            grid_x = jnp.broadcast_to(ticks[None, :, None, None], (b, sx, sy, 1))
+            grid_y = jnp.broadcast_to(ticks[None, None, :, None], (b, sx, sy, 1))
+            pos_feats = jnp.concatenate([grid_x, grid_y], axis=-1)
+
+        def step(carry, y_t):
+            # carry: raw window [b,X,Y,window] (fourier path) or
+            # window+pos embeds (linspace path)
+            embeds = embed(carry) if self.use_fourier_position else carry
+            out = self.model.apply(conv_params, embeds)["forecast"]
             l = lp_loss_rel(out.reshape(b, -1), y_t.reshape(b, -1))
             im = out
             if self.teacher_forcing and training:
                 im = y_t[..., None]
-            if self.append_pos:
-                embeds = jnp.concatenate(
-                    [embeds[..., 1:-p_chan], im, pos_feats], axis=-1
+            if self.use_fourier_position:
+                carry = jnp.concatenate([carry[..., 1:], im], axis=-1)
+            elif self.append_pos:
+                carry = jnp.concatenate(
+                    [carry[..., 1:-p_chan], im, pos_feats], axis=-1
                 )
             else:
-                embeds = jnp.concatenate([embeds[..., 1:], im], axis=-1)
-            return embeds, (out[..., 0], l)
+                carry = jnp.concatenate([carry[..., 1:], im], axis=-1)
+            return carry, (out[..., 0], l)
 
+        init_carry = xx[..., :-2] if self.use_fourier_position else xx
         ys = jnp.moveaxis(yy, -1, 0)  # [n_steps, b, X, Y]
-        _, (preds, step_losses) = jax.lax.scan(step, xx, ys)
+        _, (preds, step_losses) = jax.lax.scan(step, init_carry, ys)
         preds = jnp.moveaxis(preds, 0, -1)
 
         loss = jnp.mean(step_losses)

@@ -153,6 +153,37 @@ def test_rollout_end_to_end(synthetic_dataset):
     assert np.isfinite(trainer.logs["valid_loss"])
 
 
+def test_rollout_fourier_position(synthetic_dataset):
+    """The learned-embedding variant (reference grid_2d_rollout.py:84-95):
+    in_proj(window) + fourier positions replaces the 2 linspace channels;
+    the model consumes pos_size channels, and the in_proj params train."""
+    builder = NSZongyiBuilder(
+        synthetic_dataset, train_size=16, test_size=8, ssr=1, n_steps=5, batch_size=8
+    )
+    pos_size = 2 * (2 * 2 + 1)  # num_freq_bands=2
+    model = FNOZongyi2DBlock(
+        modes1=4, modes2=4, width=8, input_dim=pos_size, n_layers=2
+    )
+    routine = Grid2DRolloutRoutine(
+        model,
+        n_steps=5,
+        k_max=4,
+        num_freq_bands=2,
+        use_fourier_position=True,
+        optimizer=make_optimizer(lr=1e-3, weight_decay=1e-4),
+    )
+    state0 = routine.init(jax.random.PRNGKey(0), builder.sample_batch())
+    assert set(state0.params) == {"conv", "in_proj"}
+    kernel0 = np.asarray(state0.params["in_proj"]["kernel"])
+
+    trainer = Trainer(max_epochs=2, seed=0, data_parallel=False)
+    state = trainer.fit(routine, builder, state=state0)
+    assert np.isfinite(trainer.logs["train_loss"])
+    assert np.isfinite(trainer.logs["valid_loss"])
+    kernel1 = np.asarray(state.params["in_proj"]["kernel"])
+    assert not np.allclose(kernel0, kernel1), "in_proj received no gradient"
+
+
 def test_checkpoint_roundtrip(synthetic_dataset, tmp_path):
     builder = NSMarkovBuilder(
         synthetic_dataset, train_size=8, test_size=4, ssr=1, batch_size=4
