@@ -108,7 +108,7 @@ def main(argv=None):
         "kind",
         choices=["layers", "correlation", "step-losses", "parameters",
                  "table", "heatmap", "energy", "flows", "superresolution",
-                 "ablation"],
+                 "ablation", "tradeoff", "stepsize"],
     )
     p_plot.add_argument(
         "dataset", nargs="?", default=None,
@@ -122,7 +122,8 @@ def main(argv=None):
                         help="emit the reference's LaTeX rows for tables")
     p_plot.add_argument(
         "--inputs", nargs="+", default=None,
-        help="for 'energy'/'flows': name=path.h5 prediction/trajectory files",
+        help="for 'energy'/'flows': name=path.h5 prediction/trajectory "
+             "files; for 'tradeoff': label=runtime DNS baseline points",
     )
     p_plot.add_argument("--times", type=int, nargs="+", default=None,
                         help="for 'flows': time indices (columns)")
@@ -244,6 +245,13 @@ def main(argv=None):
             plot_mod.ablation(args.inputs or [],
                               out_path=args.out_path or "ablation.png",
                               xlabel=args.xlabel, metrics=args.metrics)
+        elif args.kind == "tradeoff":
+            plot_mod.tradeoff(args.dataset or "/root/data/kochkov512",
+                              out_path=args.out_path or "tradeoff.png",
+                              dns=args.inputs)
+        elif args.kind == "stepsize":
+            plot_mod.stepsize(args.inputs or [], dns_path=args.dataset,
+                              out_path=args.out_path or "stepsize.png")
         else:
             plot_mod.correlation(args.root, out_path=args.out_path or "correlation.png")
     elif args.command == "convert":

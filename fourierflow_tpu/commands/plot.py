@@ -33,6 +33,14 @@ Coverage of the reference surface:
     fixed-resolution checkpoint (reference superresolution /
     plot_correlation_vs_time_of_different_grid_sizes, :66-75, :341-456),
     fed by ``scripts/superres_eval.py`` output.
+  - ``tradeoff`` — N-MSE vs inference runtime per model family/depth with
+    DNS baseline points (reference
+    plot_pde_inference_performance_tradeoff, :1026-1054), fed by
+    ``scripts/inference_timing.py`` output.
+  - ``stepsize`` — stable-rollout horizon vs step size, F-FNO k-sweep
+    line + DNS dt-multiple line (reference plot_varying_step_size,
+    :458-525), fed by campaign logs and ``scripts/stepsize_dns.py``
+    output.
 
 Not ported verbatim: the reference's ``context`` (:98-138) and
 ``poster`` (:753-758) hardcode the author's wandb numbers into the
@@ -69,6 +77,8 @@ __all__ = [
     "flows",
     "superresolution",
     "ablation",
+    "tradeoff",
+    "stepsize",
 ]
 
 # The reference's Tables A.3-A.6 (plot.py:617-731): rows are (display
@@ -602,6 +612,157 @@ def ablation(inputs: List[str], out_path: str = "ablation.png",
         if len(xs) > 2 and xs[0] > 0 and xs[-1] / xs[0] >= 8:
             ax.set_xscale("log")
         ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120, bbox_inches="tight")
+    logger.info("wrote %s", out_path)
+    return out_path
+
+
+def stepsize(inputs: List[str], dns_path: Optional[str] = None,
+             out_path: str = "stepsize.png", threshold: float = 0.95):
+    """The varying-step-size figure (reference plot_varying_step_size,
+    plot.py:458-525): stable-rollout horizon (time until correlation <
+    threshold) against the step size, one line for the F-FNO surrogate
+    (``inputs`` are ``step_size=campaign_log.jsonl`` pairs from the k
+    sweep), one for the pseudo-spectral DNS at growing dt multiples
+    (``dns_path`` is the ``stepsize_dns.json`` that
+    ``scripts/stepsize_dns.py`` writes).
+    """
+    model_rows = []
+    for item in inputs:
+        val, path = item.split("=", 1)
+        last = None
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    r = json.loads(line)
+                    if "valid_time_until" in r:
+                        last = r["valid_time_until"]
+        if last is not None:
+            model_rows.append((float(val), last))
+    model_rows.sort()
+
+    dns_rows = []
+    if dns_path:
+        with open(dns_path) as f:
+            for r in json.load(f):
+                dns_rows.append((r["step_size"], r["time_until"]))
+        dns_rows.sort()
+
+    print("| source | step size (sim-s) | time_until (sim-s) |")
+    print("|---|---|---|")
+    for s, t in model_rows:
+        print(f"| F-FNO | {s:g} | {t:g} |")
+    for s, t in dns_rows:
+        print(f"| DNS | {s:g} | {t:g} |")
+
+    plt = _pyplot()
+    if plt is None:
+        logger.warning("matplotlib unavailable; table printed only")
+        return None
+    fig, ax = plt.subplots(figsize=(4.2, 3.4))
+    if model_rows:
+        ax.plot([r[0] for r in model_rows], [r[1] for r in model_rows],
+                "o-", color="#335C81", label="F-FNO")
+    if dns_rows:
+        ax.plot([r[0] for r in dns_rows], [r[1] for r in dns_rows],
+                "x-", color="#2E933C", label="DNS (pseudo-spectral)")
+    ax.set_xscale("log")
+    ax.set_xlabel("Step size (sim-s)")
+    ax.set_ylabel(f"Time until correlation < {threshold:g}")
+    ax.grid(alpha=0.3)
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120, bbox_inches="tight")
+    logger.info("wrote %s", out_path)
+    return out_path
+
+
+def tradeoff(data_dir: str, out_path: str = "tradeoff.png",
+             dns: Optional[List[str]] = None, metric: str = "valid_loss"):
+    """Inference performance-tradeoff figure: final rollout N-MSE (%)
+    vs inference runtime per sample per simulation-second, one line per
+    model family across depths (reference
+    plot_pde_inference_performance_tradeoff, plot.py:1026-1054 — there
+    pulling both axes from wandb; here joining each campaign run's
+    ``campaign_log.jsonl`` with the on-chip timings that
+    ``scripts/inference_timing.py`` appends to
+    ``<data_dir>/runs/inference_times.jsonl``).
+
+    ``dns`` entries are ``label=runtime`` pairs (s/sample/sim-second) for
+    numerical-solver baselines, drawn at N-MSE 0 like the reference's
+    scatter point (plot.py:1048).
+    """
+    times_path = os.path.join(data_dir, "runs", "inference_times.jsonl")
+    runs = []
+    with open(times_path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                runs.append(json.loads(line))
+    # last timing per tag wins (the file is append-only)
+    by_tag = {r["tag"]: r for r in runs}
+
+    rows = []
+    for tag, rec in sorted(by_tag.items()):
+        log_path = os.path.join(data_dir, "runs", tag, "campaign_log.jsonl")
+        if not os.path.exists(log_path):
+            logger.warning("no campaign log for %s; skipped", tag)
+            continue
+        losses = []
+        with open(log_path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    r = json.loads(line)
+                    if metric in r:
+                        losses.append(r[metric])
+        if not losses:
+            continue
+        rows.append({
+            "tag": tag,
+            "arch": rec["arch"],
+            "n_layers": rec["n_layers"],
+            "nmse_pct": 100.0 * losses[-1],
+            "inference_time": rec["inference_time"],
+        })
+
+    print("| run | arch | layers | N-MSE (%) | s / sample / sim-s |")
+    print("|---|---|---|---|---|")
+    for r in sorted(rows, key=lambda r: (r["arch"], r["n_layers"])):
+        print(f"| {r['tag']} | {r['arch']} | {r['n_layers']} | "
+              f"{r['nmse_pct']:.2f} | {r['inference_time']:.4g} |")
+    for item in dns or []:
+        label, val = item.split("=", 1)
+        print(f"| {label} (DNS) | — | — | 0 | {float(val):.4g} |")
+
+    plt = _pyplot()
+    if plt is None:
+        logger.warning("matplotlib unavailable; table printed only")
+        return None
+    fig, ax = plt.subplots(figsize=(4.2, 3.4))
+    palette = {"ffno": "#335C81", "zongyi": "#A23B72", "ffno_plus": "#E08E45"}
+    for arch in sorted({r["arch"] for r in rows}):
+        pts = sorted((r for r in rows if r["arch"] == arch),
+                     key=lambda r: r["n_layers"])
+        ax.plot([p["nmse_pct"] for p in pts],
+                [p["inference_time"] for p in pts],
+                "o-", color=palette.get(arch, "#444444"), label=arch)
+        for p in pts:
+            ax.annotate(str(p["n_layers"]),
+                        (p["nmse_pct"], p["inference_time"]),
+                        textcoords="offset points", xytext=(4, 4), fontsize=7)
+    for item in dns or []:
+        label, val = item.split("=", 1)
+        ax.scatter([0], [float(val)], marker="x", color="#2E933C")
+        ax.annotate(label, (0, float(val)),
+                    textcoords="offset points", xytext=(4, 4), fontsize=7)
+    ax.set_xlabel("Normalized MSE (%)")
+    ax.set_ylabel("Runtime per sim-second (s)")
+    ax.set_yscale("log")
+    ax.grid(alpha=0.3)
+    ax.legend(fontsize=8)
     fig.tight_layout()
     fig.savefig(out_path, dpi=120, bbox_inches="tight")
     logger.info("wrote %s", out_path)

@@ -62,6 +62,25 @@ def load_state(path: str, template):
         return flax.serialization.from_bytes(template, f.read())
 
 
+def load_inference_state(path: str, template):
+    """Restore params/normalizer/step from a flax checkpoint, keeping the
+    template's optimizer state. Inference and evaluation don't need the
+    optimizer, so this loads checkpoints written under ANY optimizer
+    config (a full ``load_state`` requires the exact opt_state treedef)."""
+    with open(path, "rb") as f:
+        raw = flax.serialization.msgpack_restore(f.read())
+    out = template.replace(
+        params=flax.serialization.from_state_dict(template.params,
+                                                  raw["params"]),
+        step=flax.serialization.from_state_dict(template.step, raw["step"]),
+    )
+    if template.normalizer is not None and raw.get("normalizer") is not None:
+        out = out.replace(
+            normalizer=flax.serialization.from_state_dict(
+                template.normalizer, raw["normalizer"]))
+    return out
+
+
 class Callback:
     def on_fit_start(self, trainer, routine, state):
         pass

@@ -336,6 +336,70 @@ def test_plot_ablation(tmp_path, capsys):
         assert os.path.getsize(str(tmp_path / "abl.png")) > 0
 
 
+def test_plot_tradeoff(tmp_path, capsys):
+    """`plot tradeoff` joins campaign logs with inference timings into the
+    N-MSE-vs-runtime figure (reference
+    plot_pde_inference_performance_tradeoff, plot.py:1026-1054)."""
+    import json as _json
+    import os
+
+    from fourierflow_tpu.commands.__main__ import main as cli
+
+    runs = tmp_path / "runs"
+    os.makedirs(runs)
+    specs = [("ffno4", "ffno", 4, 0.00028, 0.08),
+             ("ffno24", "ffno", 24, 0.0013, 0.04),
+             ("zongyi4", "zongyi", 4, 0.00041, 0.21)]
+    for tag, arch, n_layers, t, loss in specs:
+        os.makedirs(runs / tag, exist_ok=True)
+        with open(runs / tag / "campaign_log.jsonl", "w") as f:
+            f.write(_json.dumps({"epoch": 1, "valid_loss": loss * 2}) + "\n")
+            f.write(_json.dumps({"epoch": 2, "valid_loss": loss}) + "\n")
+        with open(runs / "inference_times.jsonl", "a") as f:
+            f.write(_json.dumps({"tag": tag, "arch": arch,
+                                 "n_layers": n_layers,
+                                 "inference_time": t}) + "\n")
+    cli(["plot", "tradeoff", str(tmp_path),
+         "--out-path", str(tmp_path / "tradeoff.png"),
+         "--inputs", "dns64=0.0011"])
+    out = capsys.readouterr().out
+    assert "| ffno24 | ffno | 24 | 4.00 |" in out
+    assert "dns64 (DNS)" in out
+    if os.path.exists(str(tmp_path / "tradeoff.png")):
+        assert os.path.getsize(str(tmp_path / "tradeoff.png")) > 0
+
+
+def test_plot_stepsize(tmp_path, capsys):
+    """`plot stepsize` combines the k-sweep campaign logs with the DNS
+    dt-sweep JSON into the varying-step-size figure (reference
+    plot_varying_step_size, plot.py:458-525)."""
+    import json as _json
+    import os
+
+    from fourierflow_tpu.commands.__main__ import main as cli
+
+    inputs = []
+    for step, tu in ((0.07, 4.1), (0.28, 3.9), (0.56, 2.2)):
+        path = tmp_path / f"k_{step}.jsonl"
+        with open(path, "w") as f:
+            f.write(_json.dumps({"epoch": 1, "valid_time_until": tu / 2}) + "\n")
+            f.write(_json.dumps({"epoch": 2, "valid_time_until": tu}) + "\n")
+        inputs.append(f"{step}={path}")
+    dns = tmp_path / "stepsize_dns.json"
+    dns.write_text(_json.dumps([
+        {"step_size": 0.00022, "time_until": 12.0},
+        {"step_size": 0.0035, "time_until": 11.5},
+        {"step_size": 0.028, "time_until": 0.9},
+    ]))
+    cli(["plot", "stepsize", str(dns), "--inputs", *inputs,
+         "--out-path", str(tmp_path / "ss.png")])
+    out = capsys.readouterr().out
+    assert "| F-FNO | 0.28 | 3.9 |" in out
+    assert "| DNS | 0.028 | 0.9 |" in out
+    if os.path.exists(str(tmp_path / "ss.png")):
+        assert os.path.getsize(str(tmp_path / "ss.png")) > 0
+
+
 def test_plot_superresolution(tmp_path, capsys):
     """`plot superresolution` renders the super-res transfer figure and
     table from a superres_results.json (scripts/superres_eval.py output;

@@ -204,6 +204,37 @@ def test_checkpoint_roundtrip(synthetic_dataset, tmp_path):
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
 
 
+def test_load_inference_state_cross_optimizer(synthetic_dataset, tmp_path):
+    """A checkpoint written under one optimizer config restores for
+    inference under a template built with a DIFFERENT optimizer
+    (params/normalizer/step only — scripts/inference_timing.py relies on
+    this to time campaign checkpoints without replaying their schedules)."""
+    from fourierflow_tpu.trainers.callbacks import load_inference_state
+
+    builder = NSMarkovBuilder(
+        synthetic_dataset, train_size=8, test_size=4, ssr=1, batch_size=4
+    )
+    routine = _markov_routine()  # cosine schedule + clip_val optimizer
+    state = routine.init(jax.random.PRNGKey(0), builder.sample_batch())
+    for batch in builder.train_batches():
+        state = routine.accumulate_step(state, batch)
+    path = str(tmp_path / "state.ckpt")
+    save_state(path, state)
+
+    plain = Grid2DMarkovRoutine(
+        FNOFactorized2DBlock(modes=5, width=8, input_dim=3, n_layers=2,
+                             factor=2, ff_weight_norm=True),
+        n_steps=5, max_accumulations=100,
+        optimizer=make_optimizer(lr=1e-3),  # different opt_state treedef
+    )
+    template = plain.init(jax.random.PRNGKey(9), builder.sample_batch())
+    restored = load_inference_state(path, template)
+
+    m1 = routine.valid_step(state, builder.valid_data)
+    m2 = plain.valid_step(restored, builder.valid_data)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+
+
 def test_data_parallel_training(synthetic_dataset):
     """Batch-sharded training over the 8 virtual CPU devices must match
     single-device results (same data, same init)."""
