@@ -158,6 +158,26 @@ def main(
 
         template = routine.init(jax.random.PRNGKey(seed), builder.sample_batch())
         state = load_state(checkpoint_path, template)
+    elif cfg.get("pretrained_path"):
+        # Fine-tuning from pretrained weights (reference
+        # commands/train.py:70-72 / routines/base.py:79-88): load the
+        # model weights only — fresh optimizer state, fresh schedule.
+        # Accepts this framework's checkpoints or a reference torch
+        # Lightning .ckpt (utils/torch_import).
+        pretrained = os.path.expandvars(cfg["pretrained_path"])
+        template = routine.init(jax.random.PRNGKey(seed), builder.sample_batch())
+        try:
+            from ..trainers.callbacks import load_inference_state
+
+            state = load_inference_state(pretrained, template)
+        except Exception:
+            from ..utils.torch_import import import_reference_checkpoint
+
+            state = import_reference_checkpoint(pretrained, template)
+        # weights only: the fine-tuning run keeps its own step counter
+        # (fresh optimizer + schedule), like the reference's fresh Trainer
+        state = state.replace(step=template.step)
+        logger.info("loaded pretrained weights from %s", pretrained)
 
     if profile_dir:
         # First-class jax.profiler trace around the fit (SURVEY.md §5 —

@@ -522,6 +522,46 @@ trainer:
     return cfg_path
 
 
+def test_train_pretrained_path_finetune(tiny_experiment, tmp_path):
+    """``pretrained_path`` fine-tuning (reference commands/train.py:70-72):
+    a second experiment starts from the first one's checkpoint weights
+    (fresh optimizer/step), not from random init."""
+    import glob
+
+    import jax
+
+    from fourierflow_tpu.commands.train import main as train_main
+    from fourierflow_tpu.config import load_config
+    from fourierflow_tpu.trainers.callbacks import load_inference_state
+
+    ckpt = sorted(glob.glob(
+        str(tiny_experiment.parent / "checkpoints" / "trial-0-*" / "best.ckpt")))[-1]
+
+    cfg2 = tmp_path / "exp2" / "config.yaml"
+    cfg2.parent.mkdir()
+    cfg2.write_text(tiny_experiment.read_text()
+                    + f"pretrained_path: {ckpt}\n")
+    trainer, state = train_main(str(cfg2), no_test=True)
+
+    # the fine-tuned run's starting weights == the pretrained checkpoint's
+    cfg = load_config(str(tiny_experiment))
+    from fourierflow_tpu.commands.train import build_routine
+    from fourierflow_tpu.config import instantiate
+
+    builder = instantiate(cfg["builder"])
+    routine = build_routine(cfg["routine"], builder)
+    template = routine.init(jax.random.PRNGKey(7231), builder.sample_batch())
+    pre = load_inference_state(ckpt, template)
+    # max_epochs=1 means the fine-tune run only executed the epoch-0
+    # normalizer-accumulation pass: its params must BE the pretrained
+    # weights (a silent fallback to random init would fail this), with
+    # the carried-over normalizer stats advanced by one more epoch.
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(pre.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(pre.normalizer.count) > 0
+    assert float(state.normalizer.count) > float(pre.normalizer.count)
+
+
 def test_cli_infer_and_sample(tiny_experiment, tmp_path):
     from fourierflow_tpu.commands.infer import main as infer_main
     from fourierflow_tpu.commands.sample import main as sample_main
