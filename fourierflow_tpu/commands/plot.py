@@ -559,6 +559,21 @@ def flows(inputs: List[str], out_path: str = "samples.png", sample: int = 0,
     return out_path
 
 
+def _final_campaign_metrics(path: str, metrics: List[str]) -> dict:
+    """Last recorded value of each metric in a campaign_log.jsonl."""
+    final = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            r = json.loads(line)
+            for m in metrics:
+                if m in r:
+                    final[m] = r[m]
+    return final
+
+
 def ablation(inputs: List[str], out_path: str = "ablation.png",
              xlabel: str = "parameter",
              metrics: Optional[List[str]] = None):
@@ -576,18 +591,7 @@ def ablation(inputs: List[str], out_path: str = "ablation.png",
     rows = []
     for item in inputs:
         val, path = item.split("=", 1)
-        records = []
-        with open(path) as f:
-            for line in f:
-                line = line.strip()
-                if line:
-                    records.append(json.loads(line))
-        final = {}
-        for m in metrics:
-            vals = [r[m] for r in records if m in r]
-            if vals:
-                final[m] = vals[-1]
-        rows.append((float(val), final))
+        rows.append((float(val), _final_campaign_metrics(path, metrics)))
     rows.sort(key=lambda r: r[0])
 
     print("| " + xlabel + " | " + " | ".join(metrics) + " |")
@@ -631,16 +635,9 @@ def stepsize(inputs: List[str], dns_path: Optional[str] = None,
     model_rows = []
     for item in inputs:
         val, path = item.split("=", 1)
-        last = None
-        with open(path) as f:
-            for line in f:
-                line = line.strip()
-                if line:
-                    r = json.loads(line)
-                    if "valid_time_until" in r:
-                        last = r["valid_time_until"]
-        if last is not None:
-            model_rows.append((float(val), last))
+        final = _final_campaign_metrics(path, ["valid_time_until"])
+        if "valid_time_until" in final:
+            model_rows.append((float(val), final["valid_time_until"]))
     model_rows.sort()
 
     dns_rows = []
@@ -707,24 +704,21 @@ def tradeoff(data_dir: str, out_path: str = "tradeoff.png",
     rows = []
     for tag, rec in sorted(by_tag.items()):
         log_path = os.path.join(data_dir, "runs", tag, "campaign_log.jsonl")
+        if not os.path.exists(log_path) and tag == "ffno":
+            # legacy campaign layout: the default run's artifacts live at
+            # the data-dir root (quality_campaign.py keeps resuming it)
+            log_path = os.path.join(data_dir, "campaign_log.jsonl")
         if not os.path.exists(log_path):
             logger.warning("no campaign log for %s; skipped", tag)
             continue
-        losses = []
-        with open(log_path) as f:
-            for line in f:
-                line = line.strip()
-                if line:
-                    r = json.loads(line)
-                    if metric in r:
-                        losses.append(r[metric])
-        if not losses:
+        final = _final_campaign_metrics(log_path, [metric])
+        if metric not in final:
             continue
         rows.append({
             "tag": tag,
             "arch": rec["arch"],
             "n_layers": rec["n_layers"],
-            "nmse_pct": 100.0 * losses[-1],
+            "nmse_pct": 100.0 * final[metric],
             "inference_time": rec["inference_time"],
         })
 

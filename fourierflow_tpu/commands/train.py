@@ -85,6 +85,19 @@ def build_trainer(trainer_cfg: dict, callbacks=()):
     )
 
 
+def _is_torch_checkpoint(path: str) -> bool:
+    """Torch/Lightning checkpoints are zip archives ('PK') or legacy
+    pickles ('\\x80'); native checkpoints are msgpack files or orbax
+    directories. Sniffing the format up front keeps load errors
+    attributable (a bad native checkpoint must not surface as a torch
+    unpickling error)."""
+    if os.path.isdir(path):
+        return False
+    with open(path, "rb") as f:
+        magic = f.read(2)
+    return magic[:2] == b"PK" or magic[:1] == b"\x80"
+
+
 class ExistingExperimentFound(RuntimeError):
     """Raised when results for this trial already exist and neither
     ``force`` nor ``resume`` was requested
@@ -165,15 +178,17 @@ def main(
         # Accepts this framework's checkpoints or a reference torch
         # Lightning .ckpt (utils/torch_import).
         pretrained = os.path.expandvars(cfg["pretrained_path"])
+        if not os.path.exists(pretrained):
+            raise FileNotFoundError(f"pretrained_path: {pretrained}")
         template = routine.init(jax.random.PRNGKey(seed), builder.sample_batch())
-        try:
-            from ..trainers.callbacks import load_inference_state
-
-            state = load_inference_state(pretrained, template)
-        except Exception:
+        if _is_torch_checkpoint(pretrained):
             from ..utils.torch_import import import_reference_checkpoint
 
             state = import_reference_checkpoint(pretrained, template)
+        else:
+            from ..trainers.callbacks import load_inference_state
+
+            state = load_inference_state(pretrained, template)
         # weights only: the fine-tuning run keeps its own step counter
         # (fresh optimizer + schedule), like the reference's fresh Trainer
         state = state.replace(step=template.step)

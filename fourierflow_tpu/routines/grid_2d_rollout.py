@@ -53,9 +53,11 @@ class Grid2DRolloutRoutine(Routine):
         if not self.use_fourier_position:
             params = self.model.init(key, xx)
             return self.make_train_state(params)
-        # window = input channels minus the builder's 2 position channels
-        # (the reference hardcodes Linear(n_steps, 34); we derive both dims)
-        window = xx.shape[-1] - 2
+        # window = input channels minus the 2 linspace position channels
+        # appended by the builder (the reference hardcodes
+        # Linear(n_steps, 34); we derive both dims). With append_pos=False
+        # the input is already the bare window.
+        window = xx.shape[-1] - (2 if self.append_pos else 0)
         k_in, k_conv = jax.random.split(key)
         bound = 1.0 / (window ** 0.5)
         kernel = jax.random.uniform(
@@ -112,7 +114,10 @@ class Grid2DRolloutRoutine(Routine):
                 carry = jnp.concatenate([carry[..., 1:], im], axis=-1)
             return carry, (out[..., 0], l)
 
-        init_carry = xx[..., :-2] if self.use_fourier_position else xx
+        if self.use_fourier_position and self.append_pos:
+            init_carry = xx[..., :-2]  # strip the builder's linspace channels
+        else:
+            init_carry = xx
         ys = jnp.moveaxis(yy, -1, 0)  # [n_steps, b, X, Y]
         _, (preds, step_losses) = jax.lax.scan(step, init_carry, ys)
         preds = jnp.moveaxis(preds, 0, -1)

@@ -63,12 +63,19 @@ def load_state(path: str, template):
 
 
 def load_inference_state(path: str, template):
-    """Restore params/normalizer/step from a flax checkpoint, keeping the
-    template's optimizer state. Inference and evaluation don't need the
-    optimizer, so this loads checkpoints written under ANY optimizer
-    config (a full ``load_state`` requires the exact opt_state treedef)."""
-    with open(path, "rb") as f:
-        raw = flax.serialization.msgpack_restore(f.read())
+    """Restore params/normalizer/step from a checkpoint (either backend),
+    keeping the template's optimizer state. Inference and evaluation
+    don't need the optimizer, so this loads checkpoints written under ANY
+    optimizer config (a full ``load_state`` requires the exact opt_state
+    treedef)."""
+    if os.path.isdir(path):  # orbax checkpoint directory
+        import orbax.checkpoint as ocp
+
+        with ocp.PyTreeCheckpointer() as ckptr:
+            raw = ckptr.restore(os.path.abspath(path))
+    else:
+        with open(path, "rb") as f:
+            raw = flax.serialization.msgpack_restore(f.read())
     out = template.replace(
         params=flax.serialization.from_state_dict(template.params,
                                                   raw["params"]),

@@ -99,6 +99,10 @@ def main():
         tag, model_spec = spec.split("=")
         arch, n_layers = model_spec.split(":")
         ckpt = os.path.join(d, "runs", tag, "last.ckpt")
+        if not os.path.exists(ckpt) and tag == "ffno":
+            # legacy campaign layout (quality_campaign.py keeps the default
+            # run's artifacts at the data-dir root)
+            ckpt = os.path.join(d, "last.ckpt")
         if not os.path.exists(ckpt):
             print(f"[skip] {tag}: no checkpoint at {ckpt}", flush=True)
             continue
@@ -107,8 +111,7 @@ def main():
             model, n_steps=args.n_steps, use_velocity=True,
             step_size=step_size, optimizer=make_optimizer(lr=1e-3),
         )
-        state = routine.init(jax.random.PRNGKey(0),
-                             eval_ds.sample(np.arange(args.batch)))
+        state = routine.init(jax.random.PRNGKey(0), raw)
         state = load_inference_state(ckpt, state)
         rollout = jax.jit(lambda s, b: routine.rollout(s, b)[0])
         preds = rollout(state, batch)

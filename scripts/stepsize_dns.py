@@ -131,6 +131,22 @@ def main():
     args = p.parse_args()
     os.makedirs(args.data_dir, exist_ok=True)
 
+    # Every run must land its frames exactly on ground-truth frames: a
+    # multiple either divides the recording cadence (same cadence, stride
+    # 1) or is a whole number of cadences (strided comparison). Anything
+    # else silently misaligns frames, so reject it up front.
+    gt_mult = min(args.mults)
+    gt_cadence_steps = gt_mult * max(1, args.cadence_mult // gt_mult)
+    for m in args.mults:
+        cadence_steps = m * max(1, args.cadence_mult // m)
+        if (args.cadence_mult % m and m % args.cadence_mult) or \
+                cadence_steps % gt_cadence_steps:
+            raise SystemExit(
+                f"--mults {m}: cadence ({cadence_steps} base steps) does "
+                f"not align with the ground-truth cadence "
+                f"({gt_cadence_steps}); use divisors or whole multiples "
+                f"of --cadence-mult {args.cadence_mult}")
+
     import h5py
 
     from fourierflow_tpu.utils.spectral import grid_correlation
@@ -142,8 +158,6 @@ def main():
     for m in sorted(args.mults):
         files[m] = _run(args, f"x{m}", _config(args, mult=m))
 
-    base_cadence = BASE_DT * args.cadence_mult
-    gt_mult = min(args.mults)
     with h5py.File(files[gt_mult], "r") as f:
         gt = f["vorticity"][...]  # [S, T, 32, 32]
 
@@ -152,8 +166,7 @@ def main():
         with h5py.File(files[m], "r") as f:
             w = f["vorticity"][...]
         # coarser-than-cadence multiples land on every gt_stride-th frame
-        gt_stride = max(1, (m * max(1, args.cadence_mult // m))
-                        // args.cadence_mult)
+        gt_stride = (m * max(1, args.cadence_mult // m)) // gt_cadence_steps
         g = gt[:, gt_stride - 1::gt_stride]
         n = min(len(w[0]), len(g[0]))
         w, g = w[:, :n], g[:, :n]
