@@ -32,6 +32,30 @@ import yaml
 __all__ = ["load_config", "instantiate", "import_string", "apply_overrides"]
 
 
+class _YamlLoader(yaml.SafeLoader):
+    """SafeLoader with YAML 1.2 float semantics: ``1e-3`` parses as a
+    float, not a string. PyYAML implements YAML 1.1, whose float regex
+    requires a dot before the exponent — but the reference's configs (and
+    OmegaConf, which they were written for) use bare scientific notation
+    everywhere (e.g. ``viscosity: 1e-3`` in every data/kolmogorov YAML),
+    so reference YAML files must load with the 1.2 rule here."""
+
+
+_YamlLoader.add_implicit_resolver(
+    "tag:yaml.org,2002:float",
+    re.compile(
+        r"""^(?:
+            [-+]?(?:[0-9][0-9_]*)\.[0-9_]*(?:[eE][-+]?[0-9]+)?
+           |[-+]?(?:[0-9][0-9_]*)(?:[eE][-+]?[0-9]+)
+           |\.[0-9][0-9_]*(?:[eE][-+]?[0-9]+)?
+           |[-+]?\.(?:inf|Inf|INF)
+           |\.(?:nan|NaN|NAN))$""",
+        re.X,
+    ),
+    list("-+0123456789."),
+)
+
+
 TARGET_TRANSLATION = {
     # builders
     "fourierflow.builders.NSMarkovBuilder": "fourierflow_tpu.builders.NSMarkovBuilder",
@@ -70,6 +94,8 @@ TARGET_TRANSLATION = {
     "jax_cfd.base.equations.semi_implicit_navier_stokes": "fourierflow_tpu.utils.finite_volume.semi_implicit_navier_stokes",
     "jax_cfd.base.grids.Grid": "fourierflow_tpu.utils.Grid",
     "jax_cfd.base.forcings.simple_turbulence_forcing": "fourierflow_tpu.utils.forcings.simple_turbulence_forcing",
+    "jax_cfd.base.time_stepping.classic_rk4": "fourierflow_tpu.utils.finite_volume.classic_rk4",
+    "jax_cfd.base.time_stepping.forward_euler": "fourierflow_tpu.utils.finite_volume.forward_euler",
     "fourierflow.utils.forcings.kolmogorov_forcing_fn": "fourierflow_tpu.utils.forcings.kolmogorov_forcing_fn",
     "fourierflow.builders.kolmogorov.downsample_vorticity": "fourierflow_tpu.builders.kolmogorov.downsample_vorticity_snapshot",
     "fourierflow.builders.kolmogorov.downsample_velocity": "fourierflow_tpu.builders.kolmogorov.downsample_velocity_snapshot",
@@ -183,7 +209,7 @@ def load_config(path: str, overrides: Optional[List[str]] = None) -> Dict:
     (e.g. ``torus_li/markov/24_layers``; see experiments.py)."""
     if os.path.isfile(path):
         with open(path) as f:
-            cfg = yaml.safe_load(f)
+            cfg = yaml.load(f, Loader=_YamlLoader)
     else:
         from .experiments import get_experiment
 

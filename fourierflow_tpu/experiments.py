@@ -195,6 +195,14 @@ def _torus_li_ablations() -> Dict[str, dict]:
         for key, cfg in abl.items():
             cfg["wandb"] = _wandb("torus_li", f"ablation/{key}/{n}_layers")
             out[f"torus_li/ablation/{key}/{n}_layers"] = cfg
+    # The reference ships learn_difference and shared_fork only at the bare
+    # (24-layer) path — register those exact names too
+    # (reference:experiments/torus_li/ablation/{learn_difference,
+    # shared_fork}/config.yaml).
+    for key in ("learn_difference", "shared_fork"):
+        cfg = copy.deepcopy(out[f"torus_li/ablation/{key}/24_layers"])
+        cfg["wandb"] = _wandb("torus_li", f"ablation/{key}")
+        out[f"torus_li/ablation/{key}"] = cfg
     return out
 
 
@@ -699,6 +707,14 @@ def _kolmogorov_data_configs():
             size, 4, 83816, inner=2, outer=2441, warmup=0,
             out_sizes=[{"size": size, "k": 1}, {"size": 32, "k": 1}],
             init_path=f"{DATA}/kolmogorov/re_1000/initial_conditions/test_{size}.nc")
+    # reference:data/kolmogorov/re_1000/learned_interpolation/control.yaml —
+    # the un-learned 64^2 projection DNS the interpolation model is
+    # compared against (same cadence/ICs as the 64^2 training data).
+    ctrl = _kol_projection_3d(
+        64, 4, 83816, inner=2, outer=2441, warmup=0, ndim=2,
+        init_path=f"{DATA}/kolmogorov/re_1000/initial_conditions/test_64.nc")
+    ctrl["out_sizes"] = [{"size": 32, "k": 1}, {"size": 64, "k": 1}]
+    out["data/kolmogorov/re_1000/learned_interpolation/control"] = ctrl
     # 3D projection-method datasets (reference data/kolmogorov/
     # three_dimensions/*: 512^3 finite-volume simulations).
     for split, seed in (("train", 97820), ("valid", 97821), ("test", 97823)):
@@ -715,6 +731,53 @@ def _kolmogorov_data_configs():
     proj2d = _kol_projection_3d(256, 2, 111, inner=8, outer=200, warmup=50,
                                 ndim=2)
     out["data/kolmogorov/compare_methods/drag/projection"] = proj2d
+    # reference:data/kolmogorov/compare_methods/kolmogorov/*.yaml — three
+    # forcing formulations of the same Re=1000 flow at 1024^2 from the
+    # shared test IC: projection-method linear drag (-0.1 coefficient),
+    # spectral with the drag inside the forcing term (spectral_coeff),
+    # and spectral with the separate implicit drag term (spectral_drag).
+    cmp_ic = f"{DATA}/kolmogorov/re_1000/initial_conditions/test_1024.nc"
+    cmp_kw = dict(inner=128, outer=100, warmup=0,
+                  out_sizes=[{"size": 512, "k": 1}], init_path=cmp_ic)
+    proj_k = _kol_projection_3d(1024, 1, 2308, inner=128, outer=100,
+                                warmup=0, ndim=2, init_path=cmp_ic)
+    proj_k["out_sizes"] = [{"size": 512, "k": 1}]
+    out["data/kolmogorov/compare_methods/kolmogorov/projection"] = proj_k
+    coeff = _kol_data(1024, 1, 2308, **cmp_kw)
+    coeff["step_fn"]["equation"]["drag"] = 0.0
+    coeff["step_fn"]["equation"]["forcing_fn"]["linear_coefficient"] = -0.1
+    out["data/kolmogorov/compare_methods/kolmogorov/spectral_coeff"] = coeff
+    out["data/kolmogorov/compare_methods/kolmogorov/spectral_drag"] = _kol_data(
+        1024, 1, 2308, **cmp_kw)
+    # reference:data/kolmogorov/compare_methods/decaying/*.yaml — unforced
+    # decay from the same IC, spectral vs projection.
+    dec_s = _kol_data(1024, 1, 2308, **cmp_kw)
+    dec_s["step_fn"]["equation"]["drag"] = 0.0
+    dec_s["step_fn"]["equation"]["forcing_fn"] = None
+    out["data/kolmogorov/compare_methods/decaying/spectral"] = dec_s
+    dec_p = _kol_projection_3d(1024, 1, 2308, inner=128, outer=100,
+                               warmup=0, ndim=2, init_path=cmp_ic)
+    dec_p["out_sizes"] = [{"size": 512, "k": 1}]
+    dec_p["step_fn"]["forcing"] = None
+    out["data/kolmogorov/compare_methods/decaying/projection"] = dec_p
+    # reference:data/kolmogorov/compare_methods/downsampling/** — the same
+    # trajectory simulated at several resolutions and downsampled to 64^2,
+    # once per method (spectral CN-RK4, projection forward-Euler,
+    # projection classic-RK4).
+    for size in (128, 512, 2048):
+        ds_ic = f"{DATA}/kolmogorov/re_1000/initial_conditions/test_{size}.nc"
+        out[f"data/kolmogorov/compare_methods/downsampling/spectral/{size}"] = \
+            _kol_data(size, 1, 2308, inner=8, outer=200, warmup=0,
+                      out_sizes=[{"size": 64, "k": 1}], init_path=ds_ic)
+        for stepper, key in ((None, "projection_euler"),
+                             ("${get_method:jax_cfd.base.time_stepping.classic_rk4}",
+                              "projection_rk4")):
+            proj = _kol_projection_3d(size, 1, 2308, inner=8, outer=200,
+                                      warmup=0, ndim=2, init_path=ds_ic)
+            proj["out_sizes"] = [{"size": 64, "k": 1}]
+            if stepper is not None:
+                proj["step_fn"]["time_stepper"] = stepper
+            out[f"data/kolmogorov/compare_methods/downsampling/{key}/{size}"] = proj
     # Re=4000 variant: 4096^2 sims, half viscosity, drag 0.05, forcing
     # wavenumber 2 (reference data/kolmogorov/re_4000/**).
     for split, seed in (("train", 42001), ("valid", 42002), ("test", 42003)):
@@ -754,6 +817,15 @@ def _kolmogorov_data_configs():
     out["data/kolmogorov/decaying/initial_conditions/test"] = _kol_data(
         2048, 4, 2308, inner=64, outer=0, warmup=1426,
         out_sizes=[{"size": s_, "k": 1} for s_ in (64, 256, 2048)])
+    # reference:data/kolmogorov/decaying/trajectories/test.yaml — full
+    # unforced 2048^2 decay trajectories from the warmed ICs.
+    dec_t = _kol_data(
+        2048, 4, 2308, inner=64, outer=1426, warmup=0,
+        out_sizes=[{"size": s_, "k": 1} for s_ in (32, 64, 128, 256)],
+        init_path=f"{DATA}/kolmogorov/decaying/initial_conditions/test_2048.nc")
+    dec_t["step_fn"]["equation"]["drag"] = 0.0
+    dec_t["step_fn"]["equation"]["forcing_fn"] = None
+    out["data/kolmogorov/decaying/trajectories/test"] = dec_t
     # Large-domain variant: 4x domain length at the same resolution
     # density (reference data/kolmogorov/large_domain/**).
     big = "${eval:8 * ${import:numpy.pi}}"

@@ -28,6 +28,8 @@ __all__ = [
     "semi_implicit_navier_stokes",
     "kolmogorov_forcing_fv",
     "filtered_velocity_field_3d",
+    "forward_euler",
+    "classic_rk4",
 ]
 
 
@@ -93,22 +95,59 @@ def kolmogorov_forcing_fv(
     return forcing
 
 
+def forward_euler():
+    """Sentinel for the default single-stage stepper (config parity with
+    ``jax_cfd.base.time_stepping.forward_euler``)."""
+    return "euler"
+
+
+def classic_rk4():
+    """Sentinel for the projected classic Runge-Kutta-4 stepper (config
+    parity with ``jax_cfd.base.time_stepping.classic_rk4``, used by
+    reference:data/kolmogorov/compare_methods/downsampling/projection_rk4/
+    *.yaml via the ``time_stepper`` key)."""
+    return "rk4"
+
+
+def _stepper_name(time_stepper) -> str:
+    if time_stepper is None:
+        return "euler"
+    if isinstance(time_stepper, str):
+        name = time_stepper
+    elif callable(time_stepper):
+        # ${get_method:...classic_rk4} resolves to the sentinel above.
+        name = time_stepper()
+    else:
+        raise TypeError(f"unsupported time_stepper {time_stepper!r}")
+    if name not in ("euler", "rk4"):
+        raise ValueError(f"unknown time_stepper {name!r}")
+    return name
+
+
 def semi_implicit_navier_stokes(
     density: float = 1.0,
     viscosity: float = 1e-3,
     dt: float = 1e-3,
     grid=None,
     forcing: Optional[Callable] = None,
+    time_stepper=None,
     **kwargs,
 ):
     """Return ``step_fn(vel_tuple) -> vel_tuple`` advancing one dt:
     explicit flux-form central advection + explicit diffusion + forcing,
     then pressure projection (jax-cfd ``semi_implicit_navier_stokes``
-    equivalent; config target parity via TARGET_TRANSLATION)."""
+    equivalent; config target parity via TARGET_TRANSLATION).
+
+    ``time_stepper`` selects forward Euler (default) or projected classic
+    RK4 — each RK stage state is projected before evaluating the explicit
+    terms, matching jax-cfd's ``navier_stokes_rk4`` semantics where the
+    incompressibility projection is applied per stage.
+    """
     if isinstance(forcing, dict):
         from ..config import instantiate
 
         forcing = instantiate(forcing)
+    stepper = _stepper_name(time_stepper)
     ndim = grid.ndim
     h = [s for s in grid.step]
     axes = tuple(range(-ndim, 0))
@@ -145,18 +184,40 @@ def semi_implicit_navier_stokes(
                 total = total + (flux - _roll(flux, 1, ax_d_)) / h[d]
         return total
 
-    def step_fn(vel):
-        vel = tuple(vel)
-        f = forcing(*vel) if forcing is not None else (0.0,) * ndim
-        new = []
-        for i, v in enumerate(vel):
-            dv = -advect_component(vel, i) + nu * laplacian(v) + (
-                f[i] if forcing is not None else 0.0
-            )
-            new.append(v + dt * dv)
-        return pressure_projection_nd(tuple(new), h)
+    def explicit_rhs(vel):
+        f = forcing(*vel) if forcing is not None else None
+        return tuple(
+            -advect_component(vel, i)
+            + nu * laplacian(v)
+            + (f[i] if f is not None else 0.0)
+            for i, v in enumerate(vel)
+        )
 
-    return step_fn
+    def euler_step(vel):
+        vel = tuple(vel)
+        dv = explicit_rhs(vel)
+        new = tuple(v + dt * d for v, d in zip(vel, dv))
+        return pressure_projection_nd(new, h)
+
+    def rk4_step(vel):
+        u = tuple(vel)
+
+        def stage(coeff, k):
+            return pressure_projection_nd(
+                tuple(v + dt * coeff * ki for v, ki in zip(u, k)), h
+            )
+
+        k1 = explicit_rhs(u)
+        k2 = explicit_rhs(stage(0.5, k1))
+        k3 = explicit_rhs(stage(0.5, k2))
+        k4 = explicit_rhs(stage(1.0, k3))
+        new = tuple(
+            v + (dt / 6.0) * (a + 2.0 * b + 2.0 * c + d)
+            for v, a, b, c, d in zip(u, k1, k2, k3, k4)
+        )
+        return pressure_projection_nd(new, h)
+
+    return rk4_step if stepper == "rk4" else euler_step
 
 
 def filtered_velocity_field_3d(

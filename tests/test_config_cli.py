@@ -33,6 +33,29 @@ def test_resolvers(tmp_path, monkeypatch):
     assert cfg["d"]["new"] == "hi"
 
 
+def test_yaml12_float_semantics(tmp_path):
+    """Bare scientific notation must parse as float (YAML 1.2), not string
+    (PyYAML's YAML 1.1) — every reference data YAML writes ``viscosity:
+    1e-3``, and OmegaConf (the reference's loader) reads it as a float.
+    Caught on the real TPU: stable_time_step got the string and crashed."""
+    p = tmp_path / "c.yaml"
+    p.write_text(
+        "viscosity: 1e-3\n"
+        "drag: -1E+2\n"
+        "plain_int: 16\n"
+        "dotted: 2.5e-4\n"
+        "version_str: 1e3x\n"
+        "name: spectral\n"
+    )
+    cfg = load_config(str(p))
+    assert cfg["viscosity"] == 1e-3 and isinstance(cfg["viscosity"], float)
+    assert cfg["drag"] == -100.0
+    assert cfg["plain_int"] == 16 and isinstance(cfg["plain_int"], int)
+    assert cfg["dotted"] == 2.5e-4
+    assert cfg["version_str"] == "1e3x"
+    assert cfg["name"] == "spectral"
+
+
 @pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
 def test_reference_flagship_config_loads(monkeypatch):
     """The reference's own flagship YAML instantiates through the

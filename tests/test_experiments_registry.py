@@ -41,6 +41,25 @@ def test_registry_covers_reference_families():
         assert required in names, f"missing {required}"
 
 
+def test_registry_covers_every_reference_config_name():
+    """Exact-name parity: every experiment AND data config path shipped by
+    the reference (its 256 experiments/**/config.yaml + 57 data/**/*.yaml,
+    snapshotted in tests/data/reference_config_names.txt) must resolve in
+    this registry under the same name, so a reference user can paste any
+    config path they already use."""
+    import os
+
+    fixture = os.path.join(
+        os.path.dirname(__file__), "data", "reference_config_names.txt"
+    )
+    with open(fixture) as f:
+        required = [line.strip() for line in f if line.strip()]
+    assert len(required) == 313
+    names = set(experiment_names())
+    missing = [r for r in required if r not in names]
+    assert not missing, f"missing reference config names: {missing[:20]}"
+
+
 @pytest.mark.parametrize(
     "name", [n for n in experiment_names() if not n.startswith("data/")]
 )
