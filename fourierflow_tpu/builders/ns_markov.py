@@ -26,6 +26,7 @@ class NSMarkovBuilder(Builder):
         **kwargs,
     ):
         self.data_path = data_path
+        self.key = key
         self.batch_size = batch_size
         data = load_array(data_path, key).astype(np.float32)
         data = data[:, ::ssr, ::ssr]
@@ -57,5 +58,5 @@ class NSMarkovBuilder(Builder):
         return {"x": flat(x), "y": flat(y), "dx": flat(dx), "dy": flat(dy)}
 
     def inference_data(self):
-        data = load_array(self.data_path).astype(np.float32)[:512]
+        data = load_array(self.data_path, self.key).astype(np.float32)[:512]
         return {"data": data}

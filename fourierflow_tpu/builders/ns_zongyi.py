@@ -25,6 +25,7 @@ class NSZongyiBuilder(Builder):
         **kwargs,
     ):
         self.data_path = data_path
+        self.key = key
         self.batch_size = batch_size
         data = load_array(data_path, key).astype(np.float32)
         data = data[:, ::ssr, ::ssr]
@@ -52,5 +53,5 @@ class NSZongyiBuilder(Builder):
         self.test_data = self.valid_data
 
     def inference_data(self):
-        data = load_array(self.data_path).astype(np.float32)[:512]
+        data = load_array(self.data_path, self.key).astype(np.float32)[:512]
         return {"data": data}

@@ -54,6 +54,29 @@ def _markov_routine(lr=1e-3, noise_std=0.0, n_steps=5, **model_kwargs):
     )
 
 
+def test_builders_nested_h5_key(synthetic_dataset, tmp_path):
+    """Builders accept a nested HDF5 key (``train/u``) — the layout the
+    native ``generate navier-stokes`` command writes — everywhere the
+    array is (re)loaded, including ``inference_data``."""
+    import shutil
+
+    nested = str(tmp_path / "nested.h5")
+    shutil.copy(synthetic_dataset, nested)
+    with h5py.File(nested, "a") as f:
+        f["train/u"] = f["u"][...]
+        del f["u"]
+
+    b = NSMarkovBuilder(nested, train_size=16, test_size=8, ssr=1,
+                        batch_size=8, key="train/u")
+    assert b.train_data["x"].shape[0] == 16 * 20
+    assert b.inference_data()["data"].shape[0] == 24
+
+    z = NSZongyiBuilder(nested, train_size=16, test_size=8, ssr=1,
+                        n_steps=10, batch_size=8, key="train/u")
+    assert z.train_data["x"].shape == (16, 16, 16, 12)
+    assert z.inference_data()["data"].shape[0] == 24
+
+
 def test_markov_end_to_end(synthetic_dataset, tmp_path):
     builder = NSMarkovBuilder(
         synthetic_dataset, train_size=16, test_size=8, ssr=1, batch_size=8
