@@ -396,14 +396,49 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def evaluate(self, routine: Routine, builder, state: TrainState, split: str = "valid"):
-        valid_step = jax.jit(routine.valid_step)
-        batches = builder.val_batches() if split == "valid" else builder.test_batches()
+        # Jit the valid step ONCE per routine: a fresh jax.jit wrapper per
+        # evaluate() call starts with an empty trace cache, so every epoch
+        # re-traced and re-issued a remote compile over the relay (tens of
+        # seconds per validation, and a window for relay faults mid-fit).
+        if getattr(self, "_valid_step_routine", None) is not routine:
+            self._valid_step_fn = jax.jit(routine.valid_step)
+            self._valid_step_routine = routine
+        valid_step = self._valid_step_fn
+
+        # Device-resident evaluation set: builders exposing plain
+        # valid_data/test_data dicts get their arrays uploaded ONCE and
+        # sliced on device per batch — re-uploading the whole eval set
+        # every epoch costs tens of seconds over the relay.
+        batches = None
+        if self.fast_loop and self.mesh is None:
+            data = getattr(builder, f"{split}_data", None)
+            if isinstance(data, dict) and all(
+                isinstance(v, np.ndarray) for v in data.values()
+            ):
+                cache = getattr(self, "_eval_device_cache", None)
+                if cache is None:
+                    cache = self._eval_device_cache = {}
+                key = (id(builder), split)
+                if key not in cache:
+                    cache[key] = jax.tree.map(jnp.asarray, data)
+                dd = cache[key]
+                n_items = len(next(iter(dd.values())))
+                bs = builder.batch_size
+                batches = (
+                    {k: v[s : s + bs] for k, v in dd.items()}
+                    for s in range(0, n_items, bs)
+                )
+        if batches is None:
+            batches = (
+                builder.val_batches() if split == "valid" else builder.test_batches()
+            )
+            batches = (self._put(b) for b in batches)
         metric_list = []
         for i, batch in enumerate(batches):
             if self.limit_val_batches and i >= self.limit_val_batches:
                 break
             n = len(next(iter(batch.values())))
-            metrics = valid_step(state, self._put(batch))
+            metrics = valid_step(state, batch)
             metrics = {k: np.asarray(v) for k, v in metrics.items()}
             metric_list.append((metrics, n))
         merged = _weighted_merge(metric_list)
