@@ -667,11 +667,19 @@ def test_tensor_parallel_zongyi_dense_weights():
     )
 
 
-def test_graft_entry_dryrun_multichip():
+def test_graft_entry_dryrun_multichip(monkeypatch):
     """Run the driver's multichip dryrun exactly as shipped so the suite
     fails whenever the dryrun would (VERDICT r1: it shipped never-run)."""
     import __graft_entry__
 
+    # The dryrun re-execs in a subprocess, which doesn't see conftest's
+    # jax.config compilation-cache setting — share it via the env so the
+    # child's compiles hit the suite's persistent cache (~50 s -> ~15 s).
+    monkeypatch.setenv(
+        "JAX_COMPILATION_CACHE_DIR", str(jax.config.jax_compilation_cache_dir)
+    )
+    monkeypatch.setenv("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.0")
+    monkeypatch.setenv("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
     __graft_entry__.dryrun_multichip(8)
 
 
