@@ -418,7 +418,10 @@ class Trainer:
                 cache = getattr(self, "_eval_device_cache", None)
                 if cache is None:
                     cache = self._eval_device_cache = {}
-                key = (id(builder), split)
+                # Key by the builder object (not id()): ids can be reused
+                # after GC, and the strong ref pins the arrays' owner for
+                # the Trainer's lifetime.
+                key = (builder, split)
                 if key not in cache:
                     cache[key] = jax.tree.map(jnp.asarray, data)
                 dd = cache[key]
