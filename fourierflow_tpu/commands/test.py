@@ -19,7 +19,9 @@ def find_checkpoint(config_path: str, trial: int) -> str:
     import glob
     import os
 
-    config_dir = os.path.dirname(os.path.abspath(config_path))
+    from .train import experiment_dir
+
+    config_dir = experiment_dir(config_path)
     for pattern in ("best.ckpt", "last.ckpt"):
         paths = sorted(
             glob.glob(os.path.join(config_dir, "checkpoints",

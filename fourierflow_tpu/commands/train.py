@@ -104,6 +104,20 @@ class ExistingExperimentFound(RuntimeError):
     (reference utils/path.py:55-72, utils/exceptions.py)."""
 
 
+def experiment_dir(config_path: str) -> str:
+    """Per-experiment directory for run artifacts. For a YAML file this is
+    the file's directory (reference semantics: results live next to
+    config.yaml, ref commands/train.py). For a registry name the name
+    itself is the directory — in the reference every experiment name IS a
+    directory (name/config.yaml), so dirname() on a bare name would
+    collapse sibling experiments (markov/4_layers and markov/24_layers)
+    into one checkpoints tree."""
+    p = os.path.abspath(config_path)
+    if os.path.isfile(p):
+        return os.path.dirname(p)
+    return p
+
+
 def _existing_trial_dirs(config_dir: str, trial: int):
     import glob
 
@@ -132,7 +146,7 @@ def main(
     if tgn not in (None, -1, False):
         routine.track_grad_norm = True
 
-    config_dir = os.path.dirname(os.path.abspath(config_path))
+    config_dir = experiment_dir(config_path)
     existing = _existing_trial_dirs(config_dir, trial)
     if existing and not (force or resume or checkpoint_path):
         raise ExistingExperimentFound(
