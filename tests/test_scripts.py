@@ -56,3 +56,45 @@ def test_inference_timing_model_builder():
     assert type(m).__name__ == "FNOZongyi2DBlock"
     with pytest.raises(ValueError):
         it.build_model("nope", 4, "f32")
+
+
+def test_downsampling_fidelity_ladder_logic():
+    """The fidelity script carries the reference's exact acceptance
+    thresholds (reference:tests/test_conversions.py:59-76) and its ladder
+    agrees with the library downsampler on a smooth small-scale field."""
+    import jax
+    import jax.numpy as jnp
+
+    df = _load("downsampling_fidelity")
+    assert df.REFERENCE_THRESHOLDS == {
+        1024: 0.9999999, 512: 0.999, 256: 0.998, 128: 0.99, 64: 0.97,
+        32: 0.927,
+    }
+
+    # A band-limited k=1 field: direct vs repeated agree to O(h^2) of the
+    # fd curl at the coarse target (measured 0.9976 at 16^2).
+    from fourierflow_tpu.utils.grids import Grid
+    from fourierflow_tpu.utils.spectral import (
+        downsample_vorticity_hat, grid_correlation, rfft2,
+        vorticity_to_velocity_solve,
+    )
+
+    n = 64
+    x = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    # k=1 only: the fd curl's O((kh)^2) error at the 16^2 target is then
+    # far below the assertion tolerance on both ladder paths.
+    w = np.sin(x)[:, None] * np.cos(x)[None, :].astype(np.float32)
+    domain = ((0, 2 * np.pi), (0, 2 * np.pi))
+
+    def down(field, frm, to):
+        g_in = Grid((frm, frm), domain=domain)
+        g_out = Grid((to, to), domain=domain)
+        sv = vorticity_to_velocity_solve(g_in)
+        return downsample_vorticity_hat(
+            rfft2(jnp.asarray(field, jnp.float32), axes=(0, 1)), sv, g_in, g_out
+        )["vorticity"]
+
+    direct = down(w, n, 16)
+    rep = down(down(w, n, 32), 32, 16)
+    rho = float(grid_correlation(direct, rep, axes=(-2, -1)))
+    assert rho > 0.99, rho
