@@ -81,6 +81,7 @@ def build_trainer(trainer_cfg: dict, callbacks=()):
         check_val_every_n_epoch=cfg.get("check_val_every_n_epoch", 1),
         callbacks=list(callbacks),
         tensor_parallel=cfg.get("tensor_parallel", 1),
+        spatial_parallel=cfg.get("spatial_parallel", 1),
         data_parallel=cfg.get("data_parallel", True),
     )
 

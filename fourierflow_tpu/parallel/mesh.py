@@ -25,6 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = [
     "make_mesh",
     "make_tp_mesh",
+    "make_sp_mesh",
     "batch_sharding",
     "replicated",
     "shard_batch",
@@ -63,6 +64,40 @@ def make_tp_mesh(tensor_parallel: int, n_devices: Optional[int] = None) -> Mesh:
     return Mesh(
         np.asarray(devices[:n]).reshape(-1, tensor_parallel),
         ("data", "model"),
+    )
+
+
+def make_sp_mesh(spatial_parallel: int, n_devices: Optional[int] = None) -> Mesh:
+    """data x spatial mesh: the spatial axis carries ``spatial_parallel``
+    shards of the grid's first spatial dimension, the data axis the rest.
+
+    The separable F-FNO structure makes this the sequence-parallel analog
+    (SURVEY.md §2.7): each spectral branch transforms along ONE axis, so
+    with the x-axis sharded the y-branch's transform is device-local and
+    XLA inserts the transpose-style collectives only around the x-branch.
+    Devices that don't fill a whole data row are dropped (with a log line),
+    mirroring ``make_tp_mesh``.
+    """
+    import logging
+
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    if len(devices) < spatial_parallel:
+        raise ValueError(
+            f"spatial_parallel={spatial_parallel} needs at least that many "
+            f"devices; have {len(devices)}"
+        )
+    n = (len(devices) // spatial_parallel) * spatial_parallel
+    if n < len(devices):
+        logging.getLogger(__name__).warning(
+            "make_sp_mesh: dropping %d of %d devices (not divisible by "
+            "spatial_parallel=%d)", len(devices) - n, len(devices),
+            spatial_parallel,
+        )
+    return Mesh(
+        np.asarray(devices[:n]).reshape(-1, spatial_parallel),
+        ("data", "spatial"),
     )
 
 
@@ -143,19 +178,33 @@ def tp_state_shardings(state, mesh: Mesh, axis: str = "model"):
     return jax.tree_util.tree_unflatten(treedef, shardings)
 
 
-def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+def shard_batch(batch, mesh: Mesh, axis: str = "data",
+                spatial_axis: Optional[str] = None):
     """device_put a dict of host arrays with the batch axis sharded over
     the mesh's ``axis``. Arrays whose batch dim doesn't divide that axis
     are replicated instead (e.g. scalars/metadata). Divisibility is
     against the named axis size, not the whole mesh: on a 2D
-    data x model mesh only the data extent matters."""
+    data x model mesh only the data extent matters.
+
+    With ``spatial_axis`` set (a mesh axis name), arrays additionally
+    shard their dim 1 — the first grid dimension of [B, X, Y, ...]
+    batches — over that axis when it divides; non-dividing dim-1 extents
+    (e.g. per-sample scalar columns) keep the batch-only sharding."""
     n = mesh.shape[axis]
+    nsp = mesh.shape[spatial_axis] if spatial_axis is not None else 1
     sharded = batch_sharding(mesh, axis)
+    sp_sharded = (
+        NamedSharding(mesh, P(axis, spatial_axis))
+        if spatial_axis is not None
+        else sharded
+    )
     repl = replicated(mesh)
 
     def put(x):
-        if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] % n == 0:
-            return jax.device_put(x, sharded)
-        return jax.device_put(x, repl)
+        if not (hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] % n == 0):
+            return jax.device_put(x, repl)
+        if spatial_axis is not None and x.ndim >= 2 and x.shape[1] % nsp == 0:
+            return jax.device_put(x, sp_sharded)
+        return jax.device_put(x, sharded)
 
     return jax.tree.map(put, batch)

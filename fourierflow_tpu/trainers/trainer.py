@@ -19,7 +19,9 @@ import numpy as np
 
 from ..parallel.mesh import (
     make_mesh,
+    make_sp_mesh,
     make_tp_mesh,
+    replicated,
     shard_batch,
     tp_state_shardings,
 )
@@ -36,6 +38,7 @@ def make_scan_epoch(
     batch_size: int,
     accumulate: bool = False,
     chunk_steps: Optional[int] = None,
+    mesh=None,
 ):
     """Build a jitted whole-epoch function: ``lax.scan`` over on-device
     shuffled batches of a device-resident dataset.
@@ -45,6 +48,14 @@ def make_scan_epoch(
     dwarfs the ~ms step compute — see memory notes). Batches are gathered
     from the full dataset with a permutation computed on device; the
     trailing partial batch is dropped (fixed shapes, no retraces).
+
+    With ``mesh`` set (pure data parallelism), the dataset stays
+    replicated across devices and each gathered batch is
+    sharding-constrained onto the ``data`` axis, so every train step in
+    the scan runs data-parallel with XLA's gradient all-reduce — the same
+    single-dispatch epoch, now over all chips. (Replicating the dataset
+    costs HBM per chip; datasets too large for that should use the
+    per-batch loop instead.)
     """
 
     return make_scan_epoch_indexed(
@@ -54,6 +65,7 @@ def make_scan_epoch(
         sample_fn=lambda data, idx: {k: v[idx] for k, v in data.items()},
         accumulate=accumulate,
         chunk_steps=chunk_steps,
+        mesh=mesh,
     )
 
 
@@ -64,6 +76,7 @@ def make_scan_epoch_indexed(
     sample_fn,
     accumulate: bool = False,
     chunk_steps: Optional[int] = None,
+    mesh=None,
 ):
     """Generalized device-resident epoch: batches are produced by
     ``sample_fn(data, idx)`` on device from an arbitrary container (e.g.
@@ -95,6 +108,25 @@ def make_scan_epoch_indexed(
     AUTO_PROBE = 32
     AUTO_TARGET_S = 30.0
 
+    def _constrain(batch):
+        # Data-parallel scan epochs: pin each gathered batch's leading
+        # axis onto the mesh's 'data' axis so the step's compute (and
+        # XLA's gradient all-reduce) runs sharded; leaves whose batch dim
+        # doesn't divide stay replicated.
+        if mesh is None:
+            return batch
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n = mesh.shape["data"]
+        spec = NamedSharding(mesh, P("data"))
+
+        def c(x):
+            if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] % n == 0:
+                return jax.lax.with_sharding_constraint(x, spec)
+            return x
+
+        return jax.tree.map(c, batch)
+
     def chunk_fn(state, data, kperm, kstep, start, size):
         # size is static (two distinct values per epoch at most).
         n = n_items if n_items is not None else len(next(iter(data.values())))
@@ -104,7 +136,7 @@ def make_scan_epoch_indexed(
         perm = jax.lax.dynamic_slice_in_dim(perm, start, size, axis=0)
 
         def body(state, idx):
-            batch = sample_fn(data, idx)
+            batch = _constrain(sample_fn(data, idx))
             if accumulate:
                 return routine.accumulate_step(state, batch), {}
             step_key = jax.random.fold_in(kstep, state.step)
@@ -217,6 +249,7 @@ class Trainer:
         fast_loop: bool = True,
         chunk_steps="auto",
         tensor_parallel: int = 1,
+        spatial_parallel: int = 1,
     ):
         self.chunk_steps = chunk_steps
         self.max_epochs = max_epochs
@@ -229,18 +262,33 @@ class Trainer:
         self.fast_loop = fast_loop
         self.mesh = mesh
         self.tensor_parallel = tensor_parallel
+        self.spatial_parallel = spatial_parallel
+        if tensor_parallel > 1 and spatial_parallel > 1:
+            raise ValueError(
+                "tensor_parallel and spatial_parallel cannot be combined; "
+                "pick one (each already composes with the data axis)"
+            )
         if mesh is None and tensor_parallel > 1:
             # data x model mesh: batch on 'data', F-FNO channel dims on
             # 'model' (parallel/mesh.py::tp_state_shardings).
             self.mesh = make_tp_mesh(tensor_parallel)
+        elif mesh is None and spatial_parallel > 1:
+            # data x spatial mesh: batch on 'data', the grid's first
+            # spatial dim on 'spatial' — the sequence-parallel analog for
+            # grids too large for one chip's HBM (parallel/mesh.py::
+            # make_sp_mesh; params/optimizer state stay replicated).
+            self.mesh = make_sp_mesh(spatial_parallel)
         elif mesh is None and data_parallel and len(jax.devices()) > 1:
             self.mesh = make_mesh()
-        if self.mesh is not None and fast_loop:
-            # The device-resident scanned-epoch fast path is single-shard
-            # only; with a mesh every batch goes through the per-step
-            # upload loop (slow on the relay — see module docstring).
+        if self.mesh is not None and fast_loop and (
+            tensor_parallel > 1 or spatial_parallel > 1
+        ):
+            # The device-resident scanned-epoch fast path shards the
+            # batch axis only; tensor/spatial-parallel runs go through
+            # the per-batch loop (pure-DP meshes keep the fast path —
+            # see make_scan_epoch's mesh support).
             logger.info(
-                "mesh %s set: device-resident scan-epoch fast path "
+                "tp/sp mesh %s set: device-resident scan-epoch fast path "
                 "disabled, using the per-batch loop", dict(self.mesh.shape)
             )
         self.logs = {}
@@ -250,7 +298,8 @@ class Trainer:
     # ------------------------------------------------------------------
     def _put(self, batch):
         if self.mesh is not None:
-            return shard_batch(batch, self.mesh)
+            spatial = "spatial" if self.spatial_parallel > 1 else None
+            return shard_batch(batch, self.mesh, spatial_axis=spatial)
         return batch
 
     def _hook(self, name, routine=None, state=None, allow_replace=False):
@@ -279,8 +328,21 @@ class Trainer:
         self._hook("on_fit_start", routine, state)
         normalizes = getattr(routine, "should_normalize", False)
 
+        # Pure-DP meshes keep the device-resident scan-epoch fast path:
+        # the dataset is replicated per chip and each scanned batch is
+        # sharding-constrained onto the 'data' axis. TP/SP meshes (and
+        # batch sizes the data axis doesn't divide) use the per-batch
+        # loop.
+        fast_dp = (
+            self.mesh is not None
+            and self.tensor_parallel == 1
+            and self.spatial_parallel == 1
+            and getattr(builder, "batch_size", 0) % self.mesh.shape["data"] == 0
+        )
+        fast_capable = self.mesh is None or fast_dp
+
         device_proto = None
-        if self.fast_loop and self.mesh is None and self.limit_train_batches is None:
+        if self.fast_loop and fast_capable and self.limit_train_batches is None:
             try:
                 # Indexed device-resident dataset (virtual (traj, time)
                 # items); underlying datasets without the protocol (e.g.
@@ -315,31 +377,43 @@ class Trainer:
                 device_proto = None
         use_fast = (
             self.fast_loop
-            and self.mesh is None
+            and fast_capable
             and self.limit_train_batches is None
             and (hasattr(builder, "train_data") or device_proto is not None)
         )
+        scan_mesh = self.mesh if fast_dp else None
         if use_fast and device_proto is not None:
             device_data, sample_fn, n_items = device_proto
             device_data = jax.tree.map(jnp.asarray, device_data)
             train_epoch = make_scan_epoch_indexed(
                 routine, builder.batch_size, n_items, sample_fn,
-                accumulate=False, chunk_steps=self.chunk_steps)
+                accumulate=False, chunk_steps=self.chunk_steps,
+                mesh=scan_mesh)
             acc_epoch = make_scan_epoch_indexed(
                 routine, builder.batch_size, n_items, sample_fn,
-                accumulate=True, chunk_steps=self.chunk_steps)
+                accumulate=True, chunk_steps=self.chunk_steps,
+                mesh=scan_mesh)
             fast_n_items = n_items
         elif use_fast:
             # Device-resident dataset + one jitted scan per epoch.
             device_data = {k: jnp.asarray(v) for k, v in builder.train_data.items()}
             train_epoch = make_scan_epoch(routine, builder.batch_size,
-                                          accumulate=False, chunk_steps=self.chunk_steps)
+                                          accumulate=False, chunk_steps=self.chunk_steps,
+                                          mesh=scan_mesh)
             acc_epoch = make_scan_epoch(routine, builder.batch_size,
-                                        accumulate=True, chunk_steps=self.chunk_steps)
+                                        accumulate=True, chunk_steps=self.chunk_steps,
+                                        mesh=scan_mesh)
             fast_n_items = len(next(iter(builder.train_data.values())))
         else:
             train_step = jax.jit(routine.train_step, donate_argnums=(0,))
             acc_step = jax.jit(routine.accumulate_step, donate_argnums=(0,))
+
+        if use_fast and scan_mesh is not None:
+            # Dataset + state live replicated on every mesh device; the
+            # scan body reshards each gathered batch onto 'data'.
+            repl = replicated(scan_mesh)
+            device_data = jax.device_put(device_data, repl)
+            state = jax.device_put(state, repl)
 
         for epoch in range(self.max_epochs):
             self.current_epoch = epoch

@@ -141,6 +141,62 @@ def test_trainer_tensor_parallel_end_to_end(synthetic_dataset):
         )
 
 
+def test_trainer_spatial_parallel_end_to_end(synthetic_dataset):
+    """Trainer(spatial_parallel=2): full fit with the grid's x-axis
+    sharded over the 'spatial' mesh axis (the sequence-parallel analog —
+    each separable F-FNO branch transforms along one axis, so the
+    y-branch stays device-local) must reproduce the single-device run's
+    losses."""
+
+    def run(**trainer_kwargs):
+        builder = NSMarkovBuilder(
+            synthetic_dataset, train_size=16, test_size=4, ssr=1, batch_size=8
+        )
+        routine = _markov_routine(
+            lr=3e-3, width=16, factor=4, share_weight=False, n_steps=4
+        )
+        # fast_loop off so both runs use the identical per-batch loop.
+        trainer = Trainer(max_epochs=2, seed=0, fast_loop=False, **trainer_kwargs)
+        state = trainer.fit(routine, builder)
+        return trainer, state
+
+    t_ref, _ = run(data_parallel=False)
+    t_sp, _ = run(spatial_parallel=2)
+    assert dict(t_sp.mesh.shape) == {"data": 4, "spatial": 2}
+
+    np.testing.assert_allclose(
+        t_ref.logs["train_loss"], t_sp.logs["train_loss"], rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        t_ref.logs["valid_loss"], t_sp.logs["valid_loss"], rtol=1e-3
+    )
+    # The eval rollout also ran sharded.
+    assert np.isfinite(t_sp.logs["valid_time_until"])
+
+
+def test_shard_batch_spatial_axis():
+    """shard_batch(spatial_axis=...): grid arrays shard (data, spatial),
+    non-dividing dim-1 extents fall back to batch-only sharding, and
+    non-dividing batch dims replicate."""
+    from fourierflow_tpu.parallel.mesh import make_sp_mesh, shard_batch
+
+    mesh = make_sp_mesh(2)  # 8 devices -> 4x2 data x spatial
+    batch = {
+        "x": np.zeros((8, 16, 16, 1), np.float32),
+        "mu": np.zeros((8, 3), np.float32),  # dim 1 doesn't divide 2
+        "meta": np.zeros((3,), np.float32),  # batch doesn't divide 4
+    }
+    out = shard_batch(batch, mesh, spatial_axis="spatial")
+    assert tuple(out["x"].sharding.spec) == ("data", "spatial")
+    assert tuple(out["mu"].sharding.spec) == ("data",)
+    assert tuple(out["meta"].sharding.spec) == ()
+
+
+def test_trainer_rejects_tp_times_sp():
+    with pytest.raises(ValueError):
+        Trainer(tensor_parallel=2, spatial_parallel=2)
+
+
 def test_markov_loss_decreases(synthetic_dataset):
     builder = NSMarkovBuilder(
         synthetic_dataset, train_size=16, test_size=4, ssr=1, batch_size=8
@@ -275,6 +331,36 @@ def test_data_parallel_training(synthetic_dataset):
         state = trainer.fit(routine, builder)
         results[name] = trainer.logs["valid_loss"]
     np.testing.assert_allclose(results["single"], results["dp"], rtol=1e-4)
+
+
+def test_fast_loop_data_parallel_scan_epoch(synthetic_dataset):
+    """Pure-DP meshes keep the device-resident scanned-epoch fast path:
+    the dataset is replicated, each scanned batch is sharding-constrained
+    onto 'data', and the whole epoch stays one dispatch per chunk. The
+    permutation/noise streams are identical to the single-device fast
+    path (same epoch key), so losses must match."""
+
+    def run(**kw):
+        builder = NSMarkovBuilder(
+            synthetic_dataset, train_size=16, test_size=4, ssr=1, batch_size=8
+        )
+        routine = _markov_routine(lr=3e-3, n_steps=4)
+        trainer = Trainer(max_epochs=2, seed=0, fast_loop=True, **kw)
+        state = trainer.fit(routine, builder)
+        return trainer, state
+
+    t_ref, _ = run(data_parallel=False)
+    t_dp, s_dp = run(data_parallel=True)
+    assert t_dp.mesh is not None and dict(t_dp.mesh.shape) == {"data": 8}
+
+    np.testing.assert_allclose(
+        t_ref.logs["train_loss"], t_dp.logs["train_loss"], rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        t_ref.logs["valid_loss"], t_dp.logs["valid_loss"], rtol=1e-3
+    )
+    # Normalizer statistics accumulated identically through the DP scan.
+    assert float(s_dp.normalizer.count) > 0
 
 
 def test_fast_loop_matches_host_loop_learning(synthetic_dataset):
