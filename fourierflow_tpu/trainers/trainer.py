@@ -484,7 +484,8 @@ class Trainer:
         # sliced on device per batch — re-uploading the whole eval set
         # every epoch costs tens of seconds over the relay.
         batches = None
-        if self.fast_loop and self.mesh is None:
+        pure_dp = self.tensor_parallel == 1 and self.spatial_parallel == 1
+        if self.fast_loop and (self.mesh is None or pure_dp):
             data = getattr(builder, f"{split}_data", None)
             if isinstance(data, dict) and all(
                 isinstance(v, np.ndarray) for v in data.values()
@@ -497,7 +498,14 @@ class Trainer:
                 # the Trainer's lifetime.
                 key = (builder, split)
                 if key not in cache:
-                    cache[key] = jax.tree.map(jnp.asarray, data)
+                    arrs = jax.tree.map(jnp.asarray, data)
+                    if self.mesh is not None:
+                        # Pure-DP mesh: cache the eval set replicated per
+                        # chip. Eval compute runs replicated (redundant
+                        # but communication-free) — still strictly better
+                        # than re-uploading every epoch over the relay.
+                        arrs = jax.device_put(arrs, replicated(self.mesh))
+                    cache[key] = arrs
                 dd = cache[key]
                 n_items = len(next(iter(dd.values())))
                 bs = builder.batch_size
