@@ -186,10 +186,17 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data",
     against the named axis size, not the whole mesh: on a 2D
     data x model mesh only the data extent matters.
 
-    With ``spatial_axis`` set (a mesh axis name), arrays additionally
-    shard their dim 1 — the first grid dimension of [B, X, Y, ...]
-    batches — over that axis when it divides; non-dividing dim-1 extents
-    (e.g. per-sample scalar columns) keep the batch-only sharding."""
+    With ``spatial_axis`` set (a mesh axis name), grid-shaped arrays
+    (``ndim >= 3``, i.e. [B, X, Y, ...]) additionally shard their dim 1 —
+    the first grid dimension — over that axis when it divides; flat
+    per-sample leaves (e.g. [B, k] metadata) keep the batch-only sharding.
+    A grid whose batch dim does NOT divide the data axis (the primary SP
+    use case: batch 1-2 at >=1024^2 grids) still shards spatially via
+    ``P(None, spatial_axis)`` — full replication would defeat the HBM
+    purpose of spatial parallelism. Large arrays that do end up fully
+    replicated are logged."""
+    import logging
+
     n = mesh.shape[axis]
     nsp = mesh.shape[spatial_axis] if spatial_axis is not None else 1
     sharded = batch_sharding(mesh, axis)
@@ -201,10 +208,34 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data",
     repl = replicated(mesh)
 
     def put(x):
-        if not (hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] % n == 0):
+        if not (hasattr(x, "shape") and x.ndim >= 1):
             return jax.device_put(x, repl)
-        if spatial_axis is not None and x.ndim >= 2 and x.shape[1] % nsp == 0:
+        batch_ok = x.shape[0] % n == 0
+        # Grid batches are [B, X, Y, ...]; require ndim >= 3 so flat
+        # per-sample leaves don't pick up a spatial spec (layout-safe but
+        # it triggers needless reshard collectives inside the step).
+        grid_ok = (
+            spatial_axis is not None and x.ndim >= 3 and x.shape[1] % nsp == 0
+        )
+        if batch_ok and grid_ok:
             return jax.device_put(x, sp_sharded)
-        return jax.device_put(x, sharded)
+        if batch_ok:
+            return jax.device_put(x, sharded)
+        if grid_ok:
+            return jax.device_put(x, NamedSharding(mesh, P(None, spatial_axis)))
+        nbytes = getattr(x, "nbytes", 0) or (
+            int(np.prod(x.shape)) * getattr(getattr(x, "dtype", None), "itemsize", 4)
+        )
+        if nbytes > (8 << 20):
+            logging.getLogger(__name__).warning(
+                "shard_batch: replicating a %.1f MB array of shape %s on "
+                "every device (batch dim %d does not divide the '%s' axis "
+                "size %d%s)",
+                nbytes / 2**20, x.shape, x.shape[0], axis, n,
+                f"; dim 1 {x.shape[1]} does not divide the '{spatial_axis}' "
+                f"axis size {nsp}" if spatial_axis is not None and x.ndim >= 2
+                else "",
+            )
+        return jax.device_put(x, repl)
 
     return jax.tree.map(put, batch)

@@ -222,6 +222,67 @@ def make_scan_epoch_indexed(
     return epoch_fn
 
 
+def _state_is_sharded(state) -> bool:
+    """True when any leaf of ``state`` carries a non-fully-replicated
+    committed sharding (i.e. a caller already laid the state out)."""
+    for leaf in jax.tree.leaves(state):
+        sh = getattr(leaf, "sharding", None)
+        if sh is not None and not getattr(sh, "is_fully_replicated", True):
+            return True
+    return False
+
+
+def _tree_nbytes(tree) -> int:
+    """Total bytes of the array leaves of a pytree (host or device)."""
+    total = 0
+    for leaf in jax.tree.leaves(tree):
+        nb = getattr(leaf, "nbytes", None)
+        if nb is None and hasattr(leaf, "shape"):
+            nb = int(np.prod(leaf.shape)) * getattr(
+                getattr(leaf, "dtype", None), "itemsize", 4
+            )
+        total += int(nb or 0)
+    return total
+
+
+def _estimate_activation_bytes(model, sample_batch) -> Optional[int]:
+    """Rough per-step saved-activation footprint of an F-FNO-family block
+    under standard autodiff (no remat): ~1.3 saved layer-input-sized
+    tensors per layer (``n_layers * batch * cells * width * 1.3 *
+    itemsize``).
+
+    The coefficient is calibrated to the measured compile-OOM boundary on
+    a 16 GB v5e (RESULTS remat table: the 24-layer bf16 256² step trains
+    unremat at batch 48 ≈ 12.6 GB under this accounting and OOMs at batch
+    64 ≈ 16.8 GB) — the linear spectral/FF chain needs little beyond each
+    layer's input (matmul backward reads weights + cotangents; the fused
+    FF recomputes its hidden). Returns None for models that don't expose
+    the F-FNO block attributes."""
+    n_layers = getattr(model, "n_layers", None)
+    width = getattr(model, "width", None)
+    if not (n_layers and width):
+        return None
+    x = sample_batch.get("x") if hasattr(sample_batch, "get") else None
+    if x is None or getattr(x, "ndim", 0) < 3:
+        return None
+    batch = int(x.shape[0])
+    cells = int(np.prod(x.shape[1:-1]))
+    itemsize = 2 if getattr(model, "dtype", None) is not None else 4
+    return int(int(n_layers) * batch * cells * int(width) * 1.3 * itemsize)
+
+
+def _device_hbm_bytes() -> int:
+    """Per-device memory budget: live stats when the backend exposes them,
+    else the v5e's 16 GB."""
+    try:
+        stats = jax.devices()[0].memory_stats()
+        if stats and stats.get("bytes_limit"):
+            return int(stats["bytes_limit"])
+    except Exception:  # noqa: BLE001 - backends without memory_stats
+        pass
+    return 16 << 30
+
+
 def _weighted_merge(metric_list):
     """Weighted epoch-end aggregation (jax_trainer.py:84-102)."""
     if not metric_list:
@@ -250,6 +311,7 @@ class Trainer:
         chunk_steps="auto",
         tensor_parallel: int = 1,
         spatial_parallel: int = 1,
+        auto_remat: bool = True,
     ):
         self.chunk_steps = chunk_steps
         self.max_epochs = max_epochs
@@ -260,7 +322,12 @@ class Trainer:
         self.log_every_n_steps = log_every_n_steps
         self.check_val_every_n_epoch = check_val_every_n_epoch
         self.fast_loop = fast_loop
+        self.auto_remat = auto_remat
         self.mesh = mesh
+        # Meshes the Trainer builds itself (below) are known-safe for the
+        # scanned-epoch DP fast path; an explicitly passed mesh may carry
+        # caller-applied state shardings the fast path must not clobber.
+        self._own_mesh = mesh is None
         self.tensor_parallel = tensor_parallel
         self.spatial_parallel = spatial_parallel
         if tensor_parallel > 1 and spatial_parallel > 1:
@@ -311,10 +378,51 @@ class Trainer:
                     state = ret
         return state
 
+    def _maybe_enable_remat(self, routine, builder):
+        """HBM-cliff guard: estimate the step's saved-activation footprint
+        and flip the model to per-layer remat (same parameter tree,
+        models/ffno_grid_2d.py) before it hits the compile-OOM boundary.
+
+        Trigger calibration (measured on a 16 GB v5e, RESULTS
+        batch-scaling + remat tables): 24-layer bf16 256² trains unremat
+        at batch 48 and compile-OOMs at 64, so the per-layer saved set is
+        ~1 layer input per cell; the guard fires at 60% of device memory
+        under that accounting. Remat costs ~15% per step, so it is NOT
+        enabled below the boundary (256² batch 32 measures FASTER
+        unremat)."""
+        model = getattr(routine, "model", None)
+        if model is None or getattr(model, "remat", None) is not False:
+            return
+        try:
+            sample = builder.sample_batch()
+        except Exception:  # noqa: BLE001 - builders without sample_batch
+            return
+        est = _estimate_activation_bytes(model, sample)
+        if est is None:
+            return
+        # Activations shard with the batch (data) and the grid (spatial).
+        if self.mesh is not None:
+            for ax in ("data", "spatial"):
+                if ax in self.mesh.shape:
+                    est //= self.mesh.shape[ax]
+        budget = 0.6 * _device_hbm_bytes()
+        if est > budget:
+            logger.warning(
+                "estimated saved-activation footprint ~%.1f GB exceeds "
+                "~%.1f GB of per-device HBM budget: enabling per-layer "
+                "rematerialization (+~15%% step cost, unchanged parameter "
+                "tree; set Trainer(auto_remat=False) or "
+                "routine.conv.remat explicitly to override)",
+                est / 2**30, budget / 2**30,
+            )
+            routine.model = model.clone(remat=True)
+
     # ------------------------------------------------------------------
     def fit(self, routine: Routine, builder, state: Optional[TrainState] = None):
         rng = np.random.default_rng(self.seed)
         base_key = jax.random.PRNGKey(self.seed)
+        if self.auto_remat:
+            self._maybe_enable_remat(routine, builder)
 
         if state is None:
             state = routine.init(jax.random.PRNGKey(self.seed), builder.sample_batch())
@@ -337,6 +445,11 @@ class Trainer:
             self.mesh is not None
             and self.tensor_parallel == 1
             and self.spatial_parallel == 1
+            and "data" in self.mesh.axis_names
+            # A caller-passed mesh qualifies only when the incoming state
+            # carries no committed shardings: the fast path replicates the
+            # state, which would silently undo a caller-applied layout.
+            and (self._own_mesh or not _state_is_sharded(state))
             and getattr(builder, "batch_size", 0) % self.mesh.shape["data"] == 0
         )
         fast_capable = self.mesh is None or fast_dp
@@ -382,6 +495,27 @@ class Trainer:
             and (hasattr(builder, "train_data") or device_proto is not None)
         )
         scan_mesh = self.mesh if fast_dp else None
+        if use_fast and scan_mesh is not None:
+            # Multichip DP replicates the whole train set in every chip's
+            # HBM (make_scan_epoch docstring). Guard against datasets that
+            # won't fit: estimate bytes against the per-device budget and
+            # fall back to the streaming per-batch loop when too large.
+            est = _tree_nbytes(
+                device_proto[0] if device_proto is not None
+                else builder.train_data
+            )
+            budget = 0.6 * _device_hbm_bytes()
+            if est > budget:
+                logger.warning(
+                    "dataset ~%.1f GB exceeds the per-device replication "
+                    "budget (~%.1f GB of HBM): disabling the scanned-epoch "
+                    "fast path, streaming batches instead (set "
+                    "fast_loop=False to silence this)",
+                    est / 2**30, budget / 2**30,
+                )
+                use_fast = False
+                device_proto = None
+                scan_mesh = None
         if use_fast and device_proto is not None:
             device_data, sample_fn, n_items = device_proto
             device_data = jax.tree.map(jnp.asarray, device_data)
