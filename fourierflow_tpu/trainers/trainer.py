@@ -387,9 +387,10 @@ class Trainer:
         batch-scaling + remat tables): 24-layer bf16 256² trains unremat
         at batch 48 and compile-OOMs at 64, so the per-layer saved set is
         ~1 layer input per cell; the guard fires at 60% of device memory
-        under that accounting. Remat costs ~15% per step, so it is NOT
-        enabled below the boundary (256² batch 32 measures FASTER
-        unremat)."""
+        under that accounting. Remat costs 15-35% per step and measured
+        strictly SLOWER at every sub-boundary batch probed (including the
+        64² batch-76 scheduling cliff, scripts/probe_remat_cliff.py), so
+        it is NOT enabled below the boundary."""
         model = getattr(routine, "model", None)
         if model is None or getattr(model, "remat", None) is not False:
             return
@@ -410,7 +411,7 @@ class Trainer:
             logger.warning(
                 "estimated saved-activation footprint ~%.1f GB exceeds "
                 "~%.1f GB of per-device HBM budget: enabling per-layer "
-                "rematerialization (+~15%% step cost, unchanged parameter "
+                "rematerialization (+15-35%% step cost, unchanged parameter "
                 "tree; set Trainer(auto_remat=False) or "
                 "routine.conv.remat explicitly to override)",
                 est / 2**30, budget / 2**30,
