@@ -591,7 +591,15 @@ class KolmogorovVelocityTrajectoryDataset:
         with h5py.File(corr_path, "r") as f:
             cw = f["vorticity"][...]  # [S, T, X, Y]
             times = f["time"][...]
-        sl = slice(None, end, k)
+        # Two-stage subsampling, matching the reference exactly
+        # (builders/kolmogorov.py:242-253): the k-stride turns the file
+        # cadence into the model cadence, then validation snapshots land
+        # every `inner_steps` MODEL steps. The reference indexes the
+        # k-strided array at s, 2s, ... AFTER prepending the initial
+        # condition at index 0; without that prepend (the init lives in
+        # its own file here) target i sits at raw index i*s*k - 1.
+        s = inner_steps
+        sl = slice(s * k - 1, end, s * k)
         cw = cw[:, sl]
         times = times[sl]
         n = min(outer_steps, cw.shape[1])

@@ -38,7 +38,8 @@ class CNOFactorizedMesh2D(nn.Module):
         x = jnp.concatenate([x, grid], axis=-1)
         x = WNLinear(self.width, wnorm=self.ff_weight_norm, name="in_proj")(x)
         p = self.padding
-        x = jnp.pad(x, ((0, 0), (0, p), (0, p), (0, 0)))
+        if p:
+            x = jnp.pad(x, ((0, 0), (0, p), (0, p), (0, 0)))
 
         def make_w(name, modes):
             return self.param(
@@ -71,7 +72,8 @@ class CNOFactorizedMesh2D(nn.Module):
             )(mixed)
             x = x + h
 
-        h = h[:, :-p, :-p, :]
+        if p:
+            h = h[:, :-p, :-p, :]
         out = nn.Sequential(
             [
                 WNLinear(128, wnorm=self.ff_weight_norm),

@@ -59,7 +59,8 @@ class FNOFactorizedMesh3D(nn.Module):
         x = jnp.concatenate([x, grid], axis=-1)
         x = WNLinear(self.width, wnorm=self.ff_weight_norm, name="in_proj")(x)
         p = self.padding
-        x = jnp.pad(x, ((0, 0), (0, p), (0, p), (0, p), (0, 0)))
+        if p:
+            x = jnp.pad(x, ((0, 0), (0, p), (0, p), (0, p), (0, 0)))
 
         def make_w(name, modes):
             return self.param(
@@ -104,7 +105,8 @@ class FNOFactorizedMesh3D(nn.Module):
             h = layer_fn(ff, x, wx, wy, wz)
             x = x + h
 
-        h = h[:, :-p, :-p, :-p, :]
+        if p:
+            h = h[:, :-p, :-p, :-p, :]
         out = nn.Sequential(
             [
                 WNLinear(128, wnorm=self.ff_weight_norm),

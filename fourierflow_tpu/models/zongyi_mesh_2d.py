@@ -42,7 +42,8 @@ class FNOMesh2D(nn.Module):
         x = jnp.concatenate([x, grid], axis=-1)  # [b, sx, sy, 4]
         x = nn.Dense(self.width, name="fc0")(x)
         p = self.padding
-        x = jnp.pad(x, ((0, 0), (0, p), (0, p), (0, 0)))
+        if p:
+            x = jnp.pad(x, ((0, 0), (0, p), (0, p), (0, 0)))
 
         scale = 1.0 / (self.width * self.width)
         wshape = (self.width, self.width, self.modes1, self.modes2, 2)
@@ -55,7 +56,8 @@ class FNOMesh2D(nn.Module):
             if i < self.n_layers - 1:
                 x = nn.gelu(x)
 
-        x = x[:, :-p, :-p, :]
+        if p:
+            x = x[:, :-p, :-p, :]
         x = nn.Dense(128, name="fc1")(x)
         x = nn.gelu(x)
         return nn.Dense(1, name="fc2")(x)

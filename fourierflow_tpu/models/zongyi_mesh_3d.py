@@ -34,7 +34,8 @@ class FNOMesh3D(nn.Module):
         x = jnp.concatenate([x, grid], axis=-1)  # [b, sx, sy, sz, 4]
         x = nn.Dense(self.width, name="fc0")(x)
         p = self.padding
-        x = jnp.pad(x, ((0, 0), (0, p), (0, p), (0, p), (0, 0)))
+        if p:
+            x = jnp.pad(x, ((0, 0), (0, p), (0, p), (0, p), (0, 0)))
 
         scale = 1.0 / (self.width * self.width)
         wshape = (self.width, self.width, self.modes1, self.modes2, self.modes3, 2)
@@ -49,7 +50,8 @@ class FNOMesh3D(nn.Module):
             if i < self.n_layers - 1:
                 x = nn.gelu(x)
 
-        x = x[:, :-p, :-p, :-p, :]
+        if p:
+            x = x[:, :-p, :-p, :-p, :]
         x = nn.Dense(128, name="fc1")(x)
         x = nn.gelu(x)
         return nn.Dense(self.output_dim, name="fc2")(x)

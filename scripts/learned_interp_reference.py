@@ -143,7 +143,7 @@ def main():
     eval_ds = KolmogorovVelocityTrajectoryDataset(
         init_path=os.path.join(d, "test_init_64.h5"),
         corr_path=os.path.join(d, "test_32_1.h5"),
-        k=args.inner, outer_steps=args.outer)
+        k=1, inner_steps=args.inner, outer_steps=args.outer)
     builder = KolmogorovBuilder(train_ds, eval_ds, eval_ds,
                                 batch_size=args.batch)
     print(f"[data] {len(train_ds)} unroll-{args.unroll} train samples, "

@@ -247,3 +247,30 @@ def test_ns_contextual_builder(tmp_path):
     assert b.train_data["f"].shape == (20, 8, 8)
     assert b.train_data["mu"].shape == (20,)
     assert b.valid_data["data"].shape == (4, 8, 8, 6)
+
+
+def test_mesh_models_padding_zero():
+    """padding=0 must be a no-op (periodic domains), not an empty ':-0'
+    slice — regression for the 3D Kolmogorov one-step training setup."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fourierflow_tpu.models import FNOFactorizedMesh2D, FNOFactorizedMesh3D
+
+    rng = np.random.RandomState(0)
+    m2 = FNOFactorizedMesh2D(modes_x=4, modes_y=4, width=8, input_dim=4,
+                             n_layers=2, padding=0)
+    x2 = jnp.asarray(rng.randn(2, 12, 10, 2).astype(np.float32))
+    p2 = m2.init(jax.random.PRNGKey(0), x2)
+    out2 = m2.apply(p2, x2)
+    assert out2.shape == (2, 12, 10, 1)
+    assert bool(jnp.isfinite(out2).all())
+
+    m3 = FNOFactorizedMesh3D(modes_x=3, modes_y=3, modes_z=3, width=8,
+                             input_dim=6, output_dim=3, n_layers=2, padding=0)
+    x3 = jnp.asarray(rng.randn(2, 8, 8, 8, 3).astype(np.float32))
+    p3 = m3.init(jax.random.PRNGKey(0), x3)
+    out3 = m3.apply(p3, x3)
+    assert out3.shape == (2, 8, 8, 8, 3)
+    assert bool(jnp.isfinite(out3).all())

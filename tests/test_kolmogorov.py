@@ -818,3 +818,51 @@ def test_generation_fn_cache_batched_then_unbatched():
     np.testing.assert_allclose(
         np.asarray(single[(32, 1)]["vorticity"]),
         np.asarray(fresh[(32, 1)]["vorticity"]), rtol=1e-5, atol=1e-5)
+
+
+def test_velocity_trajectory_dataset_target_alignment(tmp_path):
+    """Validation targets must land every ``inner_steps`` MODEL steps at
+    raw corr-file index i*s*k - 1 (the reference prepends the initial
+    condition at index 0 and then indexes the k-strided array at s, 2s,
+    ...; reference builders/kolmogorov.py:215-255). Regression for the
+    reference-protocol learned-interpolation eval (k=1/2, inner_steps=16)."""
+    import h5py
+
+    from fourierflow_tpu.builders.kolmogorov import (
+        KolmogorovVelocityTrajectoryDataset,
+    )
+
+    s_traj, t_frames, nx = 2, 40, 4
+    # frame j's field holds its own 1-based index so picks are readable
+    cw = np.broadcast_to(
+        np.arange(1, t_frames + 1, dtype=np.float32)[None, :, None, None],
+        (s_traj, t_frames, nx, nx),
+    )
+    times = 0.5 * np.arange(1, t_frames + 1, dtype=np.float32)
+    corr = tmp_path / "corr.h5"
+    with h5py.File(corr, "w") as f:
+        f["vorticity"] = cw
+        f["time"] = times
+    init = tmp_path / "init.h5"
+    with h5py.File(init, "w") as f:
+        f["vx"] = np.zeros((s_traj, nx, nx), np.float32)
+        f["vy"] = np.zeros((s_traj, nx, nx), np.float32)
+
+    # k=2 (file at half the model cadence), inner_steps=4 -> snapshot i
+    # is 4 model steps = 8 frames apart, first at raw index 7 (frame 8).
+    ds = KolmogorovVelocityTrajectoryDataset(
+        init_path=str(init), corr_path=str(corr), k=2, inner_steps=4,
+        outer_steps=3,
+    )
+    batch = ds.sample(np.array([0]))
+    np.testing.assert_array_equal(batch["targets"][0, 0, 0], [8.0, 16.0, 24.0])
+    np.testing.assert_allclose(batch["times"][0], 0.5 * np.array([8, 16, 24]))
+
+    # The demo setting (k=1, inner_steps=1) keeps every frame from 0.
+    ds1 = KolmogorovVelocityTrajectoryDataset(
+        init_path=str(init), corr_path=str(corr), k=1, inner_steps=1,
+        outer_steps=5,
+    )
+    np.testing.assert_array_equal(
+        ds1.sample(np.array([0]))["targets"][0, 0, 0], [1, 2, 3, 4, 5]
+    )
