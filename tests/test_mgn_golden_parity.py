@@ -107,7 +107,7 @@ def test_mgn_processor_golden_parity():
     """flax GraphProcessor == the reference encode-process-decode math on a
     fully valid graph, with the same weights folded into the oracle."""
     rng = np.random.RandomState(0)
-    n_nodes, latent, n_layers = 24, 32, 3
+    n_nodes, latent, n_layers = 16, 16, 2
     senders, receivers = _valid_graph(rng, n_nodes)
     node_feats = rng.randn(n_nodes, 11).astype(np.float32)
     edge_feats = rng.randn(len(senders), 3).astype(np.float32)
@@ -134,7 +134,7 @@ def test_mgn_processor_golden_parity():
         node_feats, edge_feats, senders, receivers, n_layers,
     )
     # Tolerance covers the LayerNorm epsilon difference (flax 1e-6 vs
-    # haiku 1e-5) and f32 reduction-order noise through 3 blocks.
+    # haiku 1e-5) and f32 reduction-order noise through the blocks.
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
@@ -210,7 +210,7 @@ def test_mgn_loss_golden_parity():
         "cells": rng.randint(0, n_nodes, (1, n_faces, 3)).astype(np.int32),
     }
     routine = MeshGraphNetRoutine(
-        n_layers=2, latent_size=16, optimizer=optax.adam(1e-3)
+        n_layers=1, latent_size=8, optimizer=optax.adam(1e-3)
     )
     state = routine.init(jax.random.PRNGKey(0), batch)
     got = float(routine._loss(state.params, jax.tree.map(jnp.asarray, batch)))
