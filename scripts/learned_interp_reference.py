@@ -159,12 +159,27 @@ def main():
     )
     trainer = Trainer(max_epochs=args.epochs, data_parallel=False,
                       seed=7231 + args.trial)
+
+    # Un-learned control: the correction head is zero-initialized, so the
+    # freshly init'd model IS the plain 64^2 FV DNS — the baseline Kochkov
+    # et al. claim to beat (reference data config
+    # re_1000/learned_interpolation/control.yaml).
+    import jax as _jax
+
+    init_state = routine.init(_jax.random.PRNGKey(0), builder.sample_batch())
+    control = trainer.evaluate(routine, builder, init_state, split="valid")
+    control_out = {f"control_{k}": v for k, v in control.items()}
+    print(json.dumps({k: (float(v) if np.ndim(v) == 0 else None)
+                      for k, v in control_out.items()}), flush=True)
+
     t0 = time.time()
-    trainer.fit(routine, builder)
+    trainer.fit(routine, builder, state=init_state)
+    trainer.logs.update(control_out)
     out = {k: (float(v) if np.ndim(v) == 0
                else [round(float(c), 4) for c in np.asarray(v).ravel()])
            for k, v in trainer.logs.items()
-           if k.startswith("valid") or k in ("train_loss", "epoch_time")}
+           if k.startswith(("valid", "control"))
+           or k in ("train_loss", "epoch_time")}
     out["train_time_s"] = round(time.time() - t0, 1)
     out["step_size"] = DT_MODEL * args.inner
     print(json.dumps(out), flush=True)
