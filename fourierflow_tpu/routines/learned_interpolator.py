@@ -113,7 +113,9 @@ class LearnedInterpolatorRoutine(Routine):
         inputs, outputs = batch if isinstance(batch, tuple) else (batch["inputs"], batch["outputs"])
         loss, grads = jax.value_and_grad(self._loss)(state.params, inputs, outputs)
         state = self.apply_grads(state, grads)
-        return state, self.with_grad_norm({"loss": loss}, grads)
+        # "train_loss" like every other routine's train_step (the trainer
+        # logs train metrics under their own names).
+        return state, self.with_grad_norm({"train_loss": loss}, grads)
 
     # -- validation -------------------------------------------------------
     def _downsample_vorticity(self, u, v):

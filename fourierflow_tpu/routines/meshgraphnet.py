@@ -83,7 +83,7 @@ class MeshGraphNetRoutine(Routine):
         scale = jnp.where(norm < self.clip_val, 1.0, self.clip_val / (norm + 1e-9))
         grads = jax.tree.map(lambda g: g * scale, grads)
         state = self.apply_grads(state, grads)
-        return state, self.with_grad_norm({"loss": loss}, grads)
+        return state, self.with_grad_norm({"train_loss": loss}, grads)
 
     def valid_step(self, state: TrainState, batch):
         """50-step rollout: feed predicted velocity back in

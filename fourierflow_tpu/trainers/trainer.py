@@ -283,6 +283,17 @@ def _device_hbm_bytes() -> int:
     return 16 << 30
 
 
+def _batch_count(batch) -> int:
+    """Leading-dim size of a batch that may be a dict of arrays, a
+    (inputs, outputs) tuple (the learned-interpolator loader), or a bare
+    array."""
+    if isinstance(batch, dict):
+        return _batch_count(next(iter(batch.values())))
+    if isinstance(batch, (tuple, list)):
+        return _batch_count(batch[0])
+    return len(batch)
+
+
 def _weighted_merge(metric_list):
     """Weighted epoch-end aggregation (jax_trainer.py:84-102)."""
     if not metric_list:
@@ -584,7 +595,7 @@ class Trainer:
                         step_key = jax.random.fold_in(base_key, self.global_step)
                         state, metrics = train_step(state, batch, step_key)
                         self.global_step += 1
-                        train_metrics.append((metrics, len(next(iter(batch.values())))))
+                        train_metrics.append((metrics, _batch_count(batch)))
 
             if train_metrics:
                 merged = _weighted_merge(
@@ -657,7 +668,7 @@ class Trainer:
         for i, batch in enumerate(batches):
             if self.limit_val_batches and i >= self.limit_val_batches:
                 break
-            n = len(next(iter(batch.values())))
+            n = _batch_count(batch)
             metrics = valid_step(state, batch)
             metrics = {k: np.asarray(v) for k, v in metrics.items()}
             metric_list.append((metrics, n))

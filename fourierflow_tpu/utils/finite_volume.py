@@ -233,20 +233,23 @@ def filtered_velocity_field_3d(
     keys = jax.random.split(key, 3)
     lengths = [d[1] - d[0] for d in grid.domain]
 
-    # Spectral envelope on the full FFT grid, built in numpy.
+    # Spectral envelope on the rfft half-grid, built in numpy. The envelope
+    # is real and even in k, so filtering white noise with it commutes with
+    # the real-pair transform — no complex arrays are ever materialized
+    # (eager complex arithmetic is UNIMPLEMENTED on axon, and this function
+    # is called eagerly by probe/IC scripts as well as under jit).
     ks = [np.fft.fftfreq(n, d=l / n) for n, l in zip(shape, lengths)]
-    kmag = np.sqrt(sum(np.meshgrid(*ks, indexing="ij")[i] ** 2 for i in range(3)))
+    ks[-1] = ks[-1][: shape[-1] // 2 + 1]
+    kmag = np.sqrt(sum(g**2 for g in np.meshgrid(*ks, indexing="ij")))
     kp = peak_wavenumber / lengths[0]
     env = (kmag / kp) ** 2 * np.exp(-((kmag / kp) ** 2) / 2.0)
     env = env.astype(np.float32)
 
     def smooth_noise(k):
-        # White noise shaped by the envelope: filter via DFT matmuls.
+        # White noise shaped by the envelope: filter via real-pair DFT matmuls.
         x = jax.random.normal(k, shape, jnp.float32)
-        from ..ops.fourier import fftn, ifftn
-
-        z = ifftn(fftn(x, axes=(0, 1, 2)) * env, axes=(0, 1, 2))
-        return jnp.real(z)
+        zr, zi = rfftn_pair(x, axes=(0, 1, 2))
+        return irfftn_pair(zr * env, zi * env, s=shape, axes=(0, 1, 2))
 
     a = [smooth_noise(k) for k in keys]
     # v = curl(A) via centered differences (divergence-free up to FD error;

@@ -70,14 +70,20 @@ def probe_step_time(size, n_steps, results):
         out, _ = jax.lax.scan(body, vel, None, length=n_steps)
         return out
 
-    vel = filtered_velocity_field_3d(jax.random.PRNGKey(0), grid)
+    # IC build must run under jit: its spectral filtering would otherwise
+    # dispatch eagerly (slow on axon, and complex ops are UNIMPLEMENTED
+    # eagerly on this backend).
+    vel = jax.jit(
+        lambda k: filtered_velocity_field_3d(k, grid)
+    )(jax.random.PRNGKey(0))
     out = run(vel)
     _ = float(out[0][0, 0, 0])  # compile + settle
     t0 = time.perf_counter()
     out = run(out)
     _ = float(out[0][0, 0, 0])
     ms = (time.perf_counter() - t0) / n_steps * 1e3
-    assert all(bool(jnp.isfinite(v).all()) for v in out)
+    finite = jax.jit(lambda vs: jnp.all(jnp.stack([jnp.isfinite(v).all() for v in vs])))
+    assert bool(finite(out))
     print(f"[probe] {size}^3 projection step: {ms:.2f} ms (dt {dt:.2e})",
           flush=True)
     results[f"step_ms_{size}"] = round(ms, 3)
@@ -102,7 +108,8 @@ def gen_cfg(n_traj, seed, size, inner, outer, warmup):
                                 "constant_wavenumber": 4,
                                 "linear_coefficient": -0.1}},
         "downsample_fn": "${get_method:fourierflow.builders.kolmogorov.downsample_velocity}",
-        "out_sizes": [{"size": s, "k": 1} for s in dict.fromkeys([size, 32])],
+        "out_sizes": [{"size": s, "k": 1}
+                      for s in dict.fromkeys([size, 32]) if s <= size],
         "n_trajectories": n_traj, "density": 1, "max_velocity": 7.0,
         "peak_wavenumber": 4.0, "seed": seed,
         "inner_steps": inner, "outer_steps": outer, "warmup_steps": warmup,

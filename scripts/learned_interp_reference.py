@@ -149,16 +149,34 @@ def main():
     print(f"[data] {len(train_ds)} unroll-{args.unroll} train samples, "
           f"{len(eval_ds)} eval trajectories", flush=True)
 
+    # Reference optimizer block (adamw + warmup-cosine, config
+    # torus_kochkov/learned_interpolation/rollout/x64) with one stability
+    # deviation: global-norm grad clipping at 1.0. The 32-step unrolled
+    # loss NaN'd an unclipped full-budget run at step 18,176 (epoch 3);
+    # clipping is the standard mitigation for backprop-through-solver
+    # training and does not change the reference's LR/decay schedule.
     routine = LearnedInterpolatorRoutine(
         size=64, dt=DT_MODEL, inner_steps=args.inner, outer_steps=args.outer,
         unroll_length=args.unroll,
-        optimizer=make_optimizer(optimizer=optax.adamw(
-            optax.warmup_cosine_decay_schedule(
-                0.0, 1e-3, warmup_steps=500, decay_steps=40000, end_value=0.0),
-            b1=0.9, b2=0.99, weight_decay=1e-4)),
+        optimizer=make_optimizer(optimizer=optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.adamw(
+                optax.warmup_cosine_decay_schedule(
+                    0.0, 1e-3, warmup_steps=500, decay_steps=40000,
+                    end_value=0.0),
+                b1=0.9, b2=0.99, weight_decay=1e-4))),
     )
+    # limit_train_batches=4000: the reference trains 10 epochs x 4000
+    # batches = 40k steps, exactly the cosine decay budget (config
+    # trainer.limit_train_batches: 4000).
+    from fourierflow_tpu.trainers.callbacks import JSONLogger, ModelCheckpoint
+
+    ckpt = ModelCheckpoint(dirpath=os.path.join(d, "ckpt"),
+                           monitor="valid_reduced_time_until", mode="max")
     trainer = Trainer(max_epochs=args.epochs, data_parallel=False,
-                      seed=7231 + args.trial)
+                      seed=7231 + args.trial, limit_train_batches=4000,
+                      callbacks=[ckpt,
+                                 JSONLogger(os.path.join(d, "epochs.jsonl"))])
 
     # Un-learned control: the correction head is zero-initialized, so the
     # freshly init'd model IS the plain 64^2 FV DNS — the baseline Kochkov
@@ -173,7 +191,13 @@ def main():
                       for k, v in control_out.items()}), flush=True)
 
     t0 = time.time()
-    trainer.fit(routine, builder, state=init_state)
+    try:
+        trainer.fit(routine, builder, state=init_state)
+    except FloatingPointError as e:
+        # Per-epoch checkpoints + epochs.jsonl already persist progress;
+        # report what completed instead of losing the run.
+        print(f"[warn] training aborted: {e}", flush=True)
+        trainer.logs["aborted"] = str(e)
     trainer.logs.update(control_out)
     out = {k: (float(v) if np.ndim(v) == 0
                else [round(float(c), 4) for c in np.asarray(v).ravel()])

@@ -131,7 +131,7 @@ def test_learned_interpolation_trains_on_synthetic_data():
     losses = []
     for _ in range(30):
         state, metrics = step(state, (inputs, outputs))
-        losses.append(float(metrics["loss"]))
+        losses.append(float(metrics["train_loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < 0.5 * losses[0]
 

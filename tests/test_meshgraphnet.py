@@ -178,7 +178,7 @@ def test_meshgraphnet_training_loss_decreases(tmp_path):
     for _ in range(15):
         for batch in builder.train_batches(np.random.default_rng(0)):
             state, metrics = step(state, batch)
-            losses.append(float(metrics["loss"]))
+            losses.append(float(metrics["train_loss"]))
     assert losses[-1] < losses[0]
 
     valid = jax.jit(routine.valid_step)

@@ -679,6 +679,60 @@ def test_track_grad_norm_and_fast_dev_run(synthetic_dataset):
     assert dict(tp_trainer.mesh.shape) == {"data": 4, "model": 2}
 
 
+def test_per_batch_loop_tuple_batches():
+    """The streaming per-batch loop (limit_train_batches set) must accept
+    (inputs, outputs)-tuple batches — the learned-interpolator loader's
+    format. Regression: the epoch-weight bookkeeping assumed dict batches
+    and crashed the LI full-budget reference run (r3_queue2 li_ref2)."""
+    from fourierflow_tpu.routines import LearnedInterpolatorRoutine
+    from fourierflow_tpu.routines.base import make_optimizer
+    from fourierflow_tpu.trainers import Trainer
+
+    routine = LearnedInterpolatorRoutine(
+        size=16, dt=0.001, unroll_length=2, features=4, n_cnn_layers=1,
+        inner_steps=2, outer_steps=2,
+        optimizer=make_optimizer(lr=1e-3, weight_decay=0.0),
+    )
+    rng = np.random.RandomState(0)
+    b, s = 2, 16
+    inputs = {
+        "vx": rng.randn(b, s, s).astype(np.float32) * 0.1,
+        "vy": rng.randn(b, s, s).astype(np.float32) * 0.1,
+    }
+    outputs = {
+        "vx": rng.randn(b, s, s, 2).astype(np.float32) * 0.1,
+        "vy": rng.randn(b, s, s, 2).astype(np.float32) * 0.1,
+    }
+    valid = {
+        "vx": inputs["vx"],
+        "vy": inputs["vy"],
+        "targets": rng.randn(b, s, s, 2).astype(np.float32),
+        "times": np.tile(np.arange(2, dtype=np.float32), (b, 1)),
+    }
+
+    class _TupleBuilder:
+        batch_size = b
+
+        def sample_batch(self):
+            return (inputs, outputs)
+
+        def train_batches(self, rng=None):
+            yield (inputs, outputs)
+            yield (inputs, outputs)
+
+        def val_batches(self):
+            yield valid
+
+        def test_batches(self):
+            yield valid
+
+    trainer = Trainer(max_epochs=1, limit_train_batches=2, seed=0)
+    state = trainer.fit(routine, _TupleBuilder())
+    assert np.isfinite(trainer.logs["train_loss"])
+    assert np.isfinite(trainer.logs["valid_loss"])
+    assert state is not None
+
+
 def test_sharded_train_step_matches_unsharded():
     """The data x spatial mesh through the spectral layers — the exact path
     __graft_entry__.dryrun_multichip exercises — must compile, run on the
