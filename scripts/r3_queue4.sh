@@ -15,8 +15,9 @@ cd /root/repo
 STUDY_PID="${1:-}"
 STUDY_JSON=/root/data/torus_li/study.json
 # Past DEADLINE no new stage starts, leaving the chip quiet for the
-# driver's bench run at round end.
-DEADLINE="${DEADLINE:-$(date -u -d 'today 17:10' +%s)}"
+# driver's bench run at round end. Round 3 began ~09:40 UTC with a ~12h
+# budget (ends ~21:40); 20:30 leaves >1h of margin for the bench run.
+DEADLINE="${DEADLINE:-$(date -u -d 'today 20:30' +%s)}"
 
 time_left() { echo $(( DEADLINE - $(date +%s) )); }
 
@@ -67,6 +68,8 @@ stage() {
     echo "[queue4] skipping $name: past deadline"
     return 1
   fi
+  # Never let a stage outlive the deadline: cap its budget at time_left.
+  if [ "$budget" -gt "$(time_left)" ]; then budget="$(time_left)"; fi
   echo "[queue4] === $name: $(date -u +%H:%M:%S) (left $(time_left)s) ==="
   wait_tpu || return 1
   timeout "$budget" "$@" > "/root/data/${name}.log" 2>&1
