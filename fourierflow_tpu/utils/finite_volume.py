@@ -124,6 +124,33 @@ def _stepper_name(time_stepper) -> str:
     return name
 
 
+def _van_leer_flux(c, u, dt, hh, ax):
+    """Upwind MUSCL flux of cell quantity ``c`` advected by velocity ``u``
+    co-located at the FORWARD face along ``ax`` (between ``c[j]`` and
+    ``c[j+1]``), with the Van Leer (harmonic-mean) slope limiter and the
+    forward-Euler Courant correction ``0.5 * (1 - |u| dt/h)`` — the scheme
+    behind jax-cfd's default convection (``base/advection.py::
+    advect_van_leer``), which the reference's projection configs rely on
+    for stability (central advection under forward Euler is unconditionally
+    unstable at cell-Reynolds >> 2; measured blowup by step 50 at 64^3)."""
+    dc = _roll(c, -1, ax) - c  # slope across this face
+    dc_back = c - _roll(c, 1, ax)  # slope behind donor j
+    dc_fwd = _roll(dc, -1, ax)  # slope ahead of donor j+1
+
+    def limited(a, b):
+        # Van Leer limiter: harmonic mean of adjacent slopes when they
+        # agree in sign, else 0 (local extremum -> first-order upwind).
+        prod = a * b
+        denom = a + b
+        safe = jnp.where(jnp.abs(denom) > 1e-30, denom, 1.0)
+        return jnp.where(prod > 0.0, 2.0 * prod / safe, 0.0)
+
+    cfl = u * (dt / hh)
+    flux_pos = u * (c + 0.5 * (1.0 - cfl) * limited(dc, dc_back))
+    flux_neg = u * (_roll(c, -1, ax) - 0.5 * (1.0 + cfl) * limited(dc, dc_fwd))
+    return jnp.where(u >= 0.0, flux_pos, flux_neg)
+
+
 def semi_implicit_navier_stokes(
     density: float = 1.0,
     viscosity: float = 1e-3,
@@ -131,23 +158,37 @@ def semi_implicit_navier_stokes(
     grid=None,
     forcing: Optional[Callable] = None,
     time_stepper=None,
+    convect: Optional[str] = None,
     **kwargs,
 ):
     """Return ``step_fn(vel_tuple) -> vel_tuple`` advancing one dt:
-    explicit flux-form central advection + explicit diffusion + forcing,
-    then pressure projection (jax-cfd ``semi_implicit_navier_stokes``
+    explicit flux-form advection + explicit diffusion + forcing, then
+    pressure projection (jax-cfd ``semi_implicit_navier_stokes``
     equivalent; config target parity via TARGET_TRANSLATION).
 
     ``time_stepper`` selects forward Euler (default) or projected classic
     RK4 — each RK stage state is projected before evaluating the explicit
     terms, matching jax-cfd's ``navier_stokes_rk4`` semantics where the
     incompressibility projection is applied per stage.
-    """
+
+    ``convect`` selects the advection scheme: ``'van_leer'`` (limited
+    upwind MUSCL, jax-cfd's default — TVD-stable under forward Euler at
+    CFL <= courant) or ``'linear'`` (flux-form central interpolation,
+    jax-cfd ``convect_linear`` — 2nd-order, non-diffusive, but only
+    neutrally stable so it needs a stepper whose stability region covers
+    the imaginary axis). Default: ``'van_leer'`` under Euler (matching
+    jax-cfd's stability behavior) and ``'linear'`` under RK4 (limiters are
+    non-smooth and would waste RK4's order; RK4 contains central advection
+    at CFL 0.5)."""
     if isinstance(forcing, dict):
         from ..config import instantiate
 
         forcing = instantiate(forcing)
     stepper = _stepper_name(time_stepper)
+    if convect is None:
+        convect = "van_leer" if stepper == "euler" else "linear"
+    if convect not in ("van_leer", "linear"):
+        raise ValueError(f"unknown convect scheme {convect!r}")
     ndim = grid.ndim
     h = [s for s in grid.step]
     axes = tuple(range(-ndim, 0))
@@ -159,9 +200,10 @@ def semi_implicit_navier_stokes(
             val = val + (_roll(phi, 1, ax) + _roll(phi, -1, ax) - 2.0 * phi) / h[d] ** 2
         return val
 
-    def advect_component(vel, i):
+    def advect_component_linear(vel, i):
         """Flux divergence of component i: sum_d d(c_d * v_i)/dx_d with
-        fluxes at the corners/centers between the staggered locations."""
+        central-interpolated fluxes at the corners/centers between the
+        staggered locations."""
         vi = vel[i]
         ax_i = axes[i]
         total = 0.0
@@ -183,6 +225,30 @@ def semi_implicit_navier_stokes(
                 flux = vd_c * vi_f
                 total = total + (flux - _roll(flux, 1, ax_d_)) / h[d]
         return total
+
+    def advect_component_van_leer(vel, i):
+        """Same flux locations as the linear scheme (forward faces of
+        v_i's control volume along each axis), with the advected value
+        upwind-reconstructed instead of centrally interpolated."""
+        vi = vel[i]
+        ax_i = axes[i]
+        total = 0.0
+        for d, ax_d in enumerate(axes):
+            if d == i:
+                # Advecting velocity = v_i interpolated to its forward face.
+                u = 0.5 * (vi + _roll(vi, -1, ax_i))
+            else:
+                # v_d at the corner shared with v_i's face (already at the
+                # forward face of v_i's control volume along d).
+                u = 0.5 * (vel[d] + _roll(vel[d], -1, ax_i))
+            flux = _van_leer_flux(vi, u, dt, h[d], ax_d)
+            total = total + (flux - _roll(flux, 1, ax_d)) / h[d]
+        return total
+
+    advect_component = (
+        advect_component_van_leer if convect == "van_leer"
+        else advect_component_linear
+    )
 
     def explicit_rhs(vel):
         f = forcing(*vel) if forcing is not None else None
