@@ -72,7 +72,8 @@ def kol3d():
 
 def li_ref():
     for trial in range(3):
-        r = load(f"li_ref2/li_reference_trial{trial}.json")
+        r = (load(f"li_ref2/li_reference_trial{trial}.json")
+             or load(f"li_ref/li_reference_trial{trial}.json"))
         if not r:
             continue
         print(f"### LI reference protocol trial {trial}\n")
