@@ -596,6 +596,19 @@ class Trainer:
                         state, metrics = train_step(state, batch, step_key)
                         self.global_step += 1
                         train_metrics.append((metrics, _batch_count(batch)))
+                        # Progress markers for long per-batch runs: the
+                        # first step's value fetch marks "compile done"
+                        # (the relay gives no compile progress signal),
+                        # then a heartbeat every 500 steps.
+                        if i == 0 or (i + 1) % 500 == 0:
+                            loss = next(
+                                (float(v) for k, v in metrics.items()
+                                 if k.endswith("loss")), float("nan"))
+                            logging.info(
+                                "epoch %d step %d (global %d): loss %.4f"
+                                + (" [first step: compile done]" if i == 0
+                                   else ""),
+                                epoch, i + 1, self.global_step, loss)
 
             if train_metrics:
                 merged = _weighted_merge(

@@ -95,6 +95,13 @@ def main():
     p.add_argument("--warmup", type=int, default=400,
                    help="warmup frames (x SUBSTEPS DNS steps each, ~2.8 sim-s)")
     p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--steps-per-epoch", type=int, default=4000,
+                   help="limit_train_batches; the reference budget is 10 "
+                   "epochs x 4000 = 40k steps. Smaller epochs (x more of "
+                   "them) keep the same step/schedule semantics but "
+                   "checkpoint + log more often — the LR schedule is "
+                   "step-based (decay 40k) and epoch-independent.")
+    p.add_argument("--val-every", type=int, default=1)
     p.add_argument("--unroll", type=int, default=32)
     p.add_argument("--inner", type=int, default=16)
     p.add_argument("--outer", type=int, default=100)
@@ -174,7 +181,9 @@ def main():
     ckpt = ModelCheckpoint(dirpath=os.path.join(d, "ckpt"),
                            monitor="valid_reduced_time_until", mode="max")
     trainer = Trainer(max_epochs=args.epochs, data_parallel=False,
-                      seed=7231 + args.trial, limit_train_batches=4000,
+                      seed=7231 + args.trial,
+                      limit_train_batches=args.steps_per_epoch,
+                      check_val_every_n_epoch=args.val_every,
                       callbacks=[ckpt,
                                  JSONLogger(os.path.join(d, "epochs.jsonl"))])
 
