@@ -108,6 +108,6 @@ fi
 #    to the remaining wall-clock.
 stage torus_vis "$(( $(time_left) > 600 ? $(time_left) : 600 ))" \
   python -u scripts/torus_vis_study.py --data-dir /root/data/torus_vis \
-  --n-train 150 --n-eval 25 --gen-batch 25 --val-every 5
+  --n-train 100 --n-eval 20 --gen-batch 20 --val-every 5
 
 echo "[queue6] all stages complete $(date -u +%H:%M:%S)"
