@@ -599,15 +599,17 @@ class Trainer:
                         # Progress markers for long per-batch runs: the
                         # first step's value fetch marks "compile done"
                         # (the relay gives no compile progress signal),
-                        # then a heartbeat every 500 steps.
+                        # then a heartbeat every 500 steps. The marker is
+                        # gated on the first step OVERALL — i==0 of later
+                        # epochs hits the jit cache and compiles nothing.
                         if i == 0 or (i + 1) % 500 == 0:
                             loss = next(
                                 (float(v) for k, v in metrics.items()
                                  if k.endswith("loss")), float("nan"))
-                            logging.info(
+                            logger.info(
                                 "epoch %d step %d (global %d): loss %.4f"
-                                + (" [first step: compile done]" if i == 0
-                                   else ""),
+                                + (" [first step: compile done]"
+                                   if self.global_step == 1 else ""),
                                 epoch, i + 1, self.global_step, loss)
 
             if train_metrics:
@@ -619,6 +621,11 @@ class Trainer:
             if (epoch + 1) % self.check_val_every_n_epoch == 0:
                 val_logs = self.evaluate(routine, builder, state, split="valid")
                 self.logs.update(val_logs)
+                # With sparse validation (check_val_every_n_epoch > 1) the
+                # logs keep the last valid_* values between validations;
+                # valid_epoch records which epoch they actually came from
+                # so downstream harvesting never misattributes them.
+                self.logs["valid_epoch"] = epoch
 
             self.logs["epoch"] = epoch
             self.logs["epoch_time"] = time.time() - t0
