@@ -180,6 +180,7 @@ def _group_summary(trials):
     out = {
         "n_trials": len(losses),
         "nmse_mean": float(np.mean(losses)),
+        "nmse_std": float(np.std(losses)),
         "nmse_min": float(np.min(losses)),
         "nmse_max": float(np.max(losses)),
         "n_params": params[0] if params else 0,
@@ -203,7 +204,7 @@ def reference_table(dataset: str, root: str = "configs",
     if not latex:
         lines += [
             f"### {dataset} (reference Table A.x layout)",
-            "| model | layers | params | N-MSE mean (%) | min | max | train h |",
+            "| model | layers | params | N-MSE mean±std (%) | min | max | train h |",
             "|---|---|---|---|---|---|---|",
         ]
     for display, family, depths in REFERENCE_TABLES[dataset]:
@@ -227,9 +228,11 @@ def reference_table(dataset: str, root: str = "configs",
                 else:
                     h = s["train_hours"]
                     ht = "—" if np.isnan(h) else f"{h:.2g}"
+                    mean = (f"{s['nmse_mean']:.2f} ± {s['nmse_std']:.2f}"
+                            if s["n_trials"] > 1 else f"{s['nmse_mean']:.2f}")
                     lines.append(
                         f"| {display} | {d} | {s['n_params']:,} | "
-                        f"{s['nmse_mean']:.2f} | {s['nmse_min']:.2f} | "
+                        f"{mean} | {s['nmse_min']:.2f} | "
                         f"{s['nmse_max']:.2f} | {ht} |")
         if latex:
             lines.append("\\midrule")
@@ -789,7 +792,10 @@ def superresolution(results_path: str,
     if plt is None:
         logger.warning("matplotlib unavailable; table printed only")
         return None
-    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(8, 3.2), sharex=True)
+    has_curves = all("correlations" in results[str(s)] for s in sizes)
+    n_panels = 3 if has_curves else 2
+    fig, axes = plt.subplots(1, n_panels, figsize=(4 * n_panels, 3.2))
+    ax1, ax2 = axes[0], axes[1]
     for ax, ys, label in ((ax1, corr, "mean rollout correlation"),
                           (ax2, tu, "time until rho<0.95 (sim-s)")):
         ax.plot(sizes, ys, "o-", color="#335C81")
@@ -801,6 +807,21 @@ def superresolution(results_path: str,
         ax.set_xlabel("evaluation grid")
         ax.set_ylabel(label)
         ax.grid(alpha=0.3)
+    if has_curves:
+        # The reference's per-grid rho(t) panel
+        # (plot_correlation_vs_time_of_different_grid_sizes).
+        ax3 = axes[2]
+        palette = ["#2E933C", "#335C81", "#B4656F", "#E0A458", "#6B4E9B"]
+        for i, s in enumerate(sizes):
+            r = results[str(s)]
+            ts = r.get("times") or list(range(1, len(r["correlations"]) + 1))
+            ax3.plot(ts, r["correlations"], color=palette[i % len(palette)],
+                     label=f"{s}²" + (" (train)" if s == train_size else ""))
+        ax3.axhline(0.95, color="#888", ls=":", lw=1)
+        ax3.set_xlabel("rollout time (sim-s)")
+        ax3.set_ylabel("vorticity correlation rho(t)")
+        ax3.grid(alpha=0.3)
+        ax3.legend(frameon=False, fontsize=8)
     ax1.legend(frameon=False, fontsize=8)
     fig.tight_layout()
     fig.savefig(out_path, dpi=120, bbox_inches="tight")

@@ -134,7 +134,12 @@ def main(
     force: bool = False,
     resume: bool = False,
     profile_dir: Optional[str] = None,
+    config_dir: Optional[str] = None,
 ):
+    """``config_dir`` overrides the run-artifact directory (default: the
+    registry name under CWD / the YAML's directory) — studies use it to
+    keep checkpoints on the data disk and budget-ablation variants out of
+    the canonical experiment group that ``plot table`` aggregates."""
     cfg = load_config(config_path, overrides)
     seed = 7231 + trial  # reference commands/train.py:56-58
     np.random.seed(seed)
@@ -147,7 +152,7 @@ def main(
     if tgn not in (None, -1, False):
         routine.track_grad_norm = True
 
-    config_dir = experiment_dir(config_path)
+    config_dir = config_dir or experiment_dir(config_path)
     existing = _existing_trial_dirs(config_dir, trial)
     if existing and not (force or resume or checkpoint_path):
         raise ExistingExperimentFound(

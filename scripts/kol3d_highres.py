@@ -1,0 +1,127 @@
+"""Measured 256^3 / 512^3 3D projection steps (VERDICT r3 #4).
+
+Round 3 extrapolated the 512^3 production step cost (x64 the cells of a
+measured 128^3 step); this measures it. The reference's 3D production
+config is 512^3 (reference:data/kolmogorov/three_dimensions/trajectories/
+train.yaml). Results merge into kol3d_results.json incrementally (the
+512^3 probe runs LAST: a compile-time OOM on the relay wedges the TPU
+worker for ~30 min, so the 256^3 row must already be on disk).
+
+HBM accounting at 512^3 f32: the velocity state is 3 x 512^3 x 4 B =
+1.61 GB; the projection step's transient peak (advection fluxes + the
+DFT-matmul Poisson solve's per-axis intermediates) is a small multiple of
+one 537 MB component field — comfortably inside the 16 GB v5e, but the
+COMPILE may still over-allocate; hence the ordering above.
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site \
+    python scripts/kol3d_highres.py --results /root/data/kol3d/kol3d_results.json
+"""
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
+
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+import numpy as np
+
+TWO_PI = 2 * np.pi
+
+
+def merge(path, results):
+    data = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            data = json.load(f)
+    data.update(results)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(data, f, indent=2)
+    os.replace(tmp, path)
+
+
+def probe(size, n_steps, path):
+    import jax
+    import jax.numpy as jnp
+
+    from fourierflow_tpu.utils import Grid
+    from fourierflow_tpu.utils.finite_volume import (
+        filtered_velocity_field_3d,
+        kolmogorov_forcing_fv,
+        semi_implicit_navier_stokes,
+    )
+
+    grid = Grid((size,) * 3, domain=((0, TWO_PI),) * 3)
+    dt = 0.5 * grid.step[0] / 7.0
+    step = semi_implicit_navier_stokes(
+        density=1.0, viscosity=1e-3, dt=dt, grid=grid,
+        forcing=kolmogorov_forcing_fv(
+            grid, constant_magnitude=1.0, constant_wavenumber=4,
+            linear_coefficient=-0.1,
+        ),
+    )
+
+    @jax.jit
+    def run(vel):
+        def body(v, _):
+            return step(v), None
+
+        out, _ = jax.lax.scan(body, vel, None, length=n_steps)
+        return out
+
+    t_ic = time.perf_counter()
+    vel = jax.jit(lambda k: filtered_velocity_field_3d(k, grid))(
+        jax.random.PRNGKey(0))
+    _ = float(vel[0][0, 0, 0])
+    print(f"[probe] {size}^3 IC build {time.perf_counter() - t_ic:.1f}s",
+          flush=True)
+    t_c = time.perf_counter()
+    out = run(vel)
+    _ = float(out[0][0, 0, 0])  # compile + settle
+    print(f"[probe] {size}^3 compile+first {time.perf_counter() - t_c:.1f}s",
+          flush=True)
+    t0 = time.perf_counter()
+    out = run(out)
+    _ = float(out[0][0, 0, 0])
+    ms = (time.perf_counter() - t0) / n_steps * 1e3
+    finite = jax.jit(
+        lambda vs: jnp.all(jnp.stack([jnp.isfinite(v).all() for v in vs])))
+    assert bool(finite(out))
+    state_gb = 3 * size**3 * 4 / 1e9
+    print(f"[probe] {size}^3 projection step: {ms:.2f} ms (dt {dt:.2e}, "
+          f"state {state_gb:.2f} GB)", flush=True)
+    merge(path, {f"step_ms_{size}": round(ms, 3),
+                 f"state_gb_{size}": round(state_gb, 3)})
+    return ms
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--results", default="/root/data/kol3d/kol3d_results.json")
+    p.add_argument("--skip-512", action="store_true")
+    args = p.parse_args()
+    os.makedirs(os.path.dirname(os.path.abspath(args.results)), exist_ok=True)
+
+    probe(256, 20, args.results)
+    if not args.skip_512:
+        ms = probe(512, 8, args.results)
+        # One production trajectory = 200 snapshots x 64 inner steps
+        # (reference train.yaml).
+        traj_min = ms * 200 * 64 / 1e3 / 60
+        merge(args.results, {"traj_512_minutes_measured": round(traj_min, 1)})
+        print(f"[probe] one 512^3 production trajectory (12,800 steps): "
+              f"{traj_min:.0f} min/chip", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -130,8 +130,15 @@ def main():
             "loss": round(float(val["loss"]), 4),
             "corr": round(float(val["corr"]), 4),
             "time_until": round(float(val["time_until"]), 3),
+            # per-step rho(t) for the reference's per-grid correlation
+            # figure (reference plot.py:341-456)
+            "correlations": [round(float(c), 4)
+                             for c in np.asarray(val["correlations"])],
+            "times": [round(args.dt * args.inner * args.k * (i + 1), 4)
+                      for i in range(args.n_steps)],
         }
-        print(f"[superres] eval@{size}: {results[size]}", flush=True)
+        print(f"[superres] eval@{size}: corr {results[size]['corr']} "
+              f"time_until {results[size]['time_until']}", flush=True)
 
     out_path = os.path.join(sr_dir, "superres_results.json")
     with open(out_path, "w") as f:

@@ -44,9 +44,15 @@ if os.environ.get("JAX_PLATFORMS"):
 
 import numpy as np
 
+# name -> (registry config, extra overrides). fno4_e101 is the
+# baseline-budget attribution leg (VERDICT r3 #2): the original FNO at
+# the F-FNO's 101-epoch budget — if the -73%-vs-README-83% gap is our
+# FNO baseline's richer 500-epoch budget, the reduction vs fno4_e101
+# should approach the README's number.
 CONFIGS = {
-    "ffno24": "torus_li/markov/24_layers",
-    "fno4": "torus_li/zongyi/4_layers",
+    "ffno24": ("torus_li/markov/24_layers", []),
+    "fno4": ("torus_li/zongyi/4_layers", []),
+    "fno4_e101": ("torus_li/zongyi/4_layers", ["trainer.max_epochs=101"]),
 }
 
 
@@ -68,19 +74,26 @@ def generate(path, delta, args):
           f"{time.time() - t0:.0f}s", flush=True)
 
 
-def run_job(name, config, trial, data_path, args):
+def run_job(name, config, trial, data_path, args, extra=()):
     from fourierflow_tpu.commands import train as train_cmd
 
     overrides = [
         f"builder.data_path={data_path}",
         "builder.key=train/u",
         f"trainer.check_val_every_n_epoch={args.val_every}",
+        *extra,
     ]
     if args.max_epochs_override:
         overrides.append(f"trainer.max_epochs={args.max_epochs_override}")
+    # Run artifacts live on the data disk, grouped so `plot table
+    # --dataset torus_li --root <data-dir>/runs` aggregates the canonical
+    # budgets; the e101 budget-ablation leg gets its own leaf (it must
+    # not mix into the zongyi/4_layers group the reference table reads).
+    config_dir = os.path.join(args.data_dir, "runs",
+                              config + ("_e101" if extra else ""))
     t0 = time.time()
     trainer, _ = train_cmd.main(config, overrides=overrides, trial=trial,
-                                force=True)
+                                force=True, config_dir=config_dir)
     out = {k: float(v) for k, v in trainer.logs.items() if np.ndim(v) == 0}
     corr = trainer.logs.get("test_correlations")
     if corr is not None:
@@ -118,18 +131,18 @@ def main():
 
     jobs = []
     for trial in range(args.trials):
-        for model, config in CONFIGS.items():
-            jobs.append((f"{model}_trial{trial}", config, trial, base))
+        for model, (config, extra) in CONFIGS.items():
+            jobs.append((f"{model}_trial{trial}", config, extra, trial, base))
     if not args.skip_dt_ablation:
         generate(fine, 2e-5, args)
-        for model, config in CONFIGS.items():
-            jobs.append((f"{model}_dt2e-5_trial0", config, 0, fine))
+        for model, (config, extra) in CONFIGS.items():
+            jobs.append((f"{model}_dt2e-5_trial0", config, extra, 0, fine))
 
-    for name, config, trial, data in jobs:
+    for name, config, extra, trial, data in jobs:
         if name in results:
             print(f"[job] {name} already done, skipping", flush=True)
             continue
-        results[name] = run_job(name, config, trial, data, args)
+        results[name] = run_job(name, config, trial, data, args, extra)
         with open(results_path, "w") as f:
             json.dump(results, f, indent=2)
 
@@ -142,16 +155,19 @@ def main():
             print(f"[summary] {model}: test_loss {np.mean(losses):.4f} "
                   f"± {np.std(losses):.4f} over {len(losses)} trials",
                   flush=True)
-    pairs = []
-    for t in range(args.trials):
-        a, b = f"ffno24_trial{t}", f"fno4_trial{t}"
-        if a in results and b in results:
-            red = 1 - results[a]["test_loss"] / results[b]["test_loss"]
-            pairs.append(red)
-            print(f"[summary] trial {t}: reduction {red * 100:.1f}%", flush=True)
-    if pairs:
-        print(f"[summary] reduction {np.mean(pairs) * 100:.1f}% "
-              f"± {np.std(pairs) * 100:.1f}%", flush=True)
+    for baseline in ("fno4", "fno4_e101"):
+        pairs = []
+        for t in range(args.trials):
+            a, b = f"ffno24_trial{t}", f"{baseline}_trial{t}"
+            if a in results and b in results:
+                red = 1 - results[a]["test_loss"] / results[b]["test_loss"]
+                pairs.append(red)
+                print(f"[summary] trial {t} vs {baseline}: "
+                      f"reduction {red * 100:.1f}%", flush=True)
+        if pairs:
+            print(f"[summary] reduction vs {baseline}: "
+                  f"{np.mean(pairs) * 100:.1f}% ± {np.std(pairs) * 100:.1f}%",
+                  flush=True)
 
 
 if __name__ == "__main__":
