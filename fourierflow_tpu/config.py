@@ -189,6 +189,8 @@ def _interpolate(obj: Any, root: Optional[Dict] = None) -> Any:
 
 
 def apply_overrides(cfg: Dict, overrides: List[str]) -> Dict:
+    """Dotted-path overrides, Hydra-style. Integer path segments index
+    into lists (``callbacks.0.every_n_epochs=10``)."""
     for ov in overrides or []:
         key, _, raw = ov.partition("=")
         try:
@@ -198,8 +200,14 @@ def apply_overrides(cfg: Dict, overrides: List[str]) -> Dict:
         node = cfg
         parts = key.strip().split(".")
         for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = value
+            if isinstance(node, list):
+                node = node[int(p)]
+            else:
+                node = node.setdefault(p, {})
+        if isinstance(node, list):
+            node[int(parts[-1])] = value
+        else:
+            node[parts[-1]] = value
     return cfg
 
 

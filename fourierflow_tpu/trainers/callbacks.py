@@ -115,10 +115,18 @@ class ModelCheckpoint(Callback):
         mode: str = "min",
         filename: str = "best.ckpt",
         save_last: bool = True,
+        every_n_epochs: int = 1,
         **_ignored_lightning_kwargs,
     ):
-        # Unknown kwargs (save_top_k, every_n_epochs, ...) come from
-        # reference Lightning configs and are accepted for compatibility.
+        # Unknown kwargs (save_top_k, ...) come from reference Lightning
+        # configs and are accepted for compatibility. ``every_n_epochs``
+        # IS honored (Lightning semantics): with monitor=None it rate-
+        # limits the per-epoch saves — on the TPU relay a full-state
+        # device->host fetch costs several seconds, which dominates
+        # fast-epoch runs (500-epoch zongyi jobs: ~2 s compute vs ~15 s
+        # of per-epoch checkpoint fetches before this knob). Monitored
+        # best-checkpoints still save whenever the metric improves, and
+        # the final epoch always saves, so resume/test semantics keep.
         if "{" in filename:  # lightning filename templates
             filename = "best.ckpt"
         self.dirpath = dirpath
@@ -126,17 +134,30 @@ class ModelCheckpoint(Callback):
         self.mode = mode
         self.filename = filename
         self.save_last = save_last
+        self.every_n_epochs = max(int(every_n_epochs), 1)
         self.best = np.inf if mode == "min" else -np.inf
         self.best_path = None
 
     def on_epoch_end(self, trainer, routine, state):
         if self.dirpath is None:
             return
-        if self.save_last:
-            save_state(os.path.join(self.dirpath, "last.ckpt"), state)
+        epoch = getattr(trainer, "current_epoch", 0)
+        final = epoch >= getattr(trainer, "max_epochs", epoch + 1) - 1
+        scheduled = final or (epoch + 1) % self.every_n_epochs == 0
+        host_state = None  # fetch the state from device at most once
+
+        def fetch():
+            nonlocal host_state
+            if host_state is None:
+                host_state = jax.device_get(state)
+            return host_state
+
+        if self.save_last and scheduled:
+            save_state(os.path.join(self.dirpath, "last.ckpt"), fetch())
         if self.monitor is None:
-            save_state(os.path.join(self.dirpath, self.filename), state)
-            self.best_path = os.path.join(self.dirpath, self.filename)
+            if scheduled:
+                save_state(os.path.join(self.dirpath, self.filename), fetch())
+                self.best_path = os.path.join(self.dirpath, self.filename)
             return
         value = trainer.logs.get(self.monitor)
         if value is None:
@@ -145,7 +166,7 @@ class ModelCheckpoint(Callback):
         if better:
             self.best = value
             self.best_path = os.path.join(self.dirpath, self.filename)
-            save_state(self.best_path, state)
+            save_state(self.best_path, fetch())
             logger.info("saved best %s=%.6f -> %s", self.monitor, value, self.best_path)
 
 

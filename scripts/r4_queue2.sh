@@ -67,8 +67,12 @@ stage() {
 }
 
 # 1. HBM streaming bandwidth (cheap, seals the MFU roofline argument).
-stage hbm_probe 1200 python -u scripts/probe_hbm_bandwidth.py \
-  --out /root/data/hbm_bandwidth.json
+if [ -s /root/data/hbm_bandwidth.json ]; then
+  echo "[queue_r4_2] hbm_probe: results exist, skipping"
+else
+  stage hbm_probe 1200 python -u scripts/probe_hbm_bandwidth.py \
+    --out /root/data/hbm_bandwidth.json
+fi
 
 # 2. torus_li multi-trial study: 3 trials x {ffno24@101ep, fno4@500ep,
 #    fno4@101ep}, shared seeded dataset; resumable per job via study.json.

@@ -81,6 +81,10 @@ def run_job(name, config, trial, data_path, args, extra=()):
         f"builder.data_path={data_path}",
         "builder.key=train/u",
         f"trainer.check_val_every_n_epoch={args.val_every}",
+        # Rate-limit last.ckpt writes: a full-state device->host fetch
+        # over the relay costs ~7 s, which dominates the fast zongyi
+        # epochs (500-epoch jobs). Final epoch always saves.
+        f"callbacks.0.every_n_epochs={args.ckpt_every}",
         *extra,
     ]
     if args.max_epochs_override:
@@ -112,6 +116,7 @@ def main():
     p.add_argument("--gen-batch", type=int, default=60)
     p.add_argument("--trials", type=int, default=3)
     p.add_argument("--val-every", type=int, default=25)
+    p.add_argument("--ckpt-every", type=int, default=10)
     p.add_argument("--max-epochs-override", type=int, default=0)
     p.add_argument("--t-end", type=float, default=20.0)
     p.add_argument("--base-delta", type=float, default=1e-4)
