@@ -98,3 +98,51 @@ def test_downsampling_fidelity_ladder_logic():
     rep = down(down(w, n, 32), 32, 16)
     rho = float(grid_correlation(direct, rep, axes=(-2, -1)))
     assert rho > 0.99, rho
+
+
+def test_elasticity_standin_generation_shapes_and_physics():
+    es = _load("elasticity_standin")
+    rr, xy, sigma = es.generate(16, seed=3)
+    assert rr.shape == (16, 42) and xy.shape == (16, 972, 2)
+    assert sigma.shape == (16, 972, 1)
+    # Geometry bounds and Kirsch stress-concentration range (factor -1..3
+    # of sigma_inf at the hole for uniaxial tension).
+    assert rr.min() >= 0.08 and rr.max() <= 0.35
+    assert xy.min() >= 0.0 and xy.max() <= 1.0
+    assert sigma.min() >= -1.01 * es.SIGMA_INF
+    assert sigma.max() <= 3.01 * es.SIGMA_INF
+    # Points lie OUTSIDE the void: radius from center >= local boundary.
+    rho = np.linalg.norm(xy - 0.5, axis=-1).reshape(16, 27, 36)
+    theta_c = 2 * np.pi * np.arange(42) / 42
+    theta = 2 * np.pi * np.arange(36) / 36
+    for i in range(4):
+        r_b = np.interp(theta, theta_c, rr[i], period=2 * np.pi)
+        assert (rho[i] >= r_b[None, :] - 1e-5).all()
+
+
+def test_mgn_standin_mesh_is_valid_triangulation():
+    mg = _load("mgn_standin")
+    pos, cells, node_type = mg._mesh(8)
+    assert pos.shape == (64, 2) and cells.shape == (2 * 49, 3)
+    assert cells.min() >= 0 and cells.max() < 64
+    # Every triangle has nonzero area (no degenerate cells).
+    p = pos[cells]  # [C, 3, 2]
+    area = 0.5 * np.abs(
+        (p[:, 1, 0] - p[:, 0, 0]) * (p[:, 2, 1] - p[:, 0, 1])
+        - (p[:, 2, 0] - p[:, 0, 0]) * (p[:, 1, 1] - p[:, 0, 1]))
+    assert (area > 1e-8).all()
+    # Border ring marked as wall, interior normal.
+    assert node_type.sum() == 6 * (4 * 8 - 4)
+    assert set(np.unique(node_type)) == {0, 6}
+
+
+def test_li_diagnosis_reference_alignment():
+    """The diagnosis compares snapshots at raw indices 15, 31, ... — the
+    exact two-stage subsample KolmogorovVelocityTrajectoryDataset uses
+    (inner=16, k=1). Pin the arithmetic."""
+    li = _load("li_diagnosis")
+    s = li.SNAPSHOT_MODEL_STEPS
+    idx = np.arange(s - 1, 1600, s)[: li.N_SNAPSHOTS]
+    assert idx[0] == 15 and idx[1] == 31 and len(idx) == 100
+    # matches the dataset's slice(s*k - 1, None, s*k) for k=1
+    assert list(idx) == list(range(1600))[slice(s - 1, None, s)][:100]
