@@ -134,10 +134,16 @@ def main():
     fine = os.path.join(args.data_dir, "li64_dt2e-5.h5")
     generate(base, args.base_delta, args)
 
+    # Model-major order: all ffno24 trials first, then the matched-budget
+    # fno4_e101 trials, then the 500-epoch fno4 baseline LAST — it costs
+    # ~5x any other leg (500 epochs x 10-step unrolled teacher forcing),
+    # so a wall-clock cutoff truncates the generous baseline's trial
+    # count, never the primary matched-budget comparison.
     jobs = []
-    for trial in range(args.trials):
-        for model, (config, extra) in CONFIGS.items():
+    for model, (config, extra) in CONFIGS.items():
+        for trial in range(args.trials):
             jobs.append((f"{model}_trial{trial}", config, extra, trial, base))
+    jobs.sort(key=lambda j: j[0].startswith("fno4_trial"))
     if not args.skip_dt_ablation:
         generate(fine, 2e-5, args)
         for model, (config, extra) in CONFIGS.items():
