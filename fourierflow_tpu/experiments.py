@@ -328,13 +328,15 @@ def _elasticity_family() -> Dict[str, dict]:
 
         ffno = "fourierflow_tpu.models.FNOFactorizedPointCloud2D"
         geo = "fourierflow_tpu.models.FNOPointCloud2D"
+        # Reference schedules: cosine num_training_steps 10000
+        # ("50 batches per epoch" x 200, elasticity/ffno/*/config.yaml).
         variants = {
-            "ffno": point_cloud(ffno, 16, 64, 64, _adamw(), _cosine(20000), 200),
-            "ffno-small": point_cloud(ffno, 12, 40, 32, _adamw(), _cosine(20000), 200),
+            "ffno": point_cloud(ffno, 16, 64, 64, _adamw(), _cosine(10000), 200),
+            "ffno-small": point_cloud(ffno, 12, 40, 32, _adamw(), _cosine(10000), 200),
             "geo-fno": point_cloud(geo, 12, 40, 32, _adam(), _step_lr(50), 501),
             "geo-fno-big": point_cloud(geo, 16, 64, 64, _adam(), _step_lr(50), 501),
         }
-        shared = point_cloud(ffno, 16, 64, 64, _adamw(), _cosine(20000), 200)
+        shared = point_cloud(ffno, 16, 64, 64, _adamw(), _cosine(10000), 200)
         shared["routine"]["model"]["share_weight"] = True
         variants["ffno-shared"] = shared
 
@@ -365,14 +367,16 @@ def _plasticity_family() -> Dict[str, dict]:
 
         f3 = "fourierflow_tpu.models.FNOFactorizedMesh3D"
         c3 = "fourierflow_tpu.models.CNOFactorizedMesh3D"
+        # Reference schedule: cosine num_training_steps 82800
+        # ("414 batches per epoch" x 200, plasticity/ffno/*/config.yaml).
         variants = {
-            "ffno": (ffno3d(f3, 32, 12, 8, 64), _adamw(), _cosine(20000), 200, 2),
-            "ffno-small": (ffno3d(f3, 12, 12, 8, 32), _adamw(), _cosine(20000), 200, 2),
-            "fcno": (ffno3d(c3, 32, 12, 8, 64), _adamw(), _cosine(20000), 200, 2),
+            "ffno": (ffno3d(f3, 32, 12, 8, 64), _adamw(), _cosine(82800), 200, 2),
+            "ffno-small": (ffno3d(f3, 12, 12, 8, 32), _adamw(), _cosine(82800), 200, 2),
+            "fcno": (ffno3d(c3, 32, 12, 8, 64), _adamw(), _cosine(82800), 200, 2),
         }
         shared = ffno3d(f3, 32, 12, 8, 64)
         shared["share_weight"] = True
-        variants["ffno-shared"] = (shared, _adamw(), _cosine(20000), 200, 2)
+        variants["ffno-shared"] = (shared, _adamw(), _cosine(82800), 200, 2)
         for name, (m1, m2, m3, w) in {
             "geo-fno": ((12, 12, 8, 32)),
             "geo-fno-big": ((32, 12, 8, 64)),
