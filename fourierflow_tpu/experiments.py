@@ -277,7 +277,11 @@ def _geo_mesh_family(project, paths, output_dim) -> Dict[str, dict]:
                 group=f"{name}/{n}_layers")
 
         # Geo-FNO baselines (Li et al. 2022 reproduction): Adam + StepLR.
-        geo_variants = {"geo-fno": (24, 12, 32)}
+        # Reference modes: airfoil geo-fno (24, 12, 32) / -big (32, 16, 64)
+        # (airfoil/geo-fno*/*/config.yaml); pipe geo-fno (12, 12, 32)
+        # (pipe/geo-fno/*/config.yaml).
+        geo_variants = {"geo-fno": (24, 12, 32) if project == "airfoil"
+                        else (12, 12, 32)}
         if project == "airfoil":
             geo_variants["geo-fno-big"] = (32, 16, 64)
         for name, (m1, m2, w) in geo_variants.items():
