@@ -183,12 +183,13 @@ def _torus_li_ablations() -> Dict[str, dict]:
                 "modes1": 12, "modes2": 12, "width": 20, "n_layers": n,
                 "residual": key.endswith("residual"),
             }
+            # reference ablation/zongyi_markov*/config.yaml: max_epochs 500
+            cfg["trainer"]["max_epochs"] = 500
             abl[key] = cfg
 
+        # reference ablation/teacher_forcing/*/config.yaml: the ZONGYI
+        # rollout config (FNOZongyi2DBlock 12/12/20) + teacher_forcing.
         tf = _torus_li_zongyi(n)
-        tf["routine"]["conv"] = copy.deepcopy(
-            markov()["routine"]["conv"])
-        tf["routine"]["conv"]["input_dim"] = 12
         tf["routine"]["teacher_forcing"] = True
         abl["teacher_forcing"] = tf
 
@@ -413,11 +414,19 @@ def _plasticity_family() -> Dict[str, dict]:
 KOCH_STEP = 0.0002191401125550916  # stable_time_step for re_1000 sim
 
 
-def _kochkov_builder(size, k=20, train_paths=None, test_size=None, end=None):
-    """reference:experiments/torus_kochkov/ffno/grid_sizes/{size}/config.yaml"""
+def _kochkov_builder(size, k=20, train_paths=None, test_size=None, end=None,
+                     cadence=4, valid_size=None):
+    """reference:experiments/torus_kochkov/ffno/grid_sizes/{size}/config.yaml
+    ``cadence`` picks the file suffix: _4 = 64*dt recording cadence, _1 =
+    16*dt (the sub-snapshot step_sizes configs, step_sizes/64/0.{25,5}).
+    ``valid_size`` defaults to ``test_size``; the superresolution configs
+    keep validation at the training grid while testing at the eval grid
+    (superresolution/*/config.yaml), and ``end`` applies to the TEST split
+    only (ditto)."""
     test_size = test_size or size
+    valid_size = valid_size or test_size
     train_paths = train_paths or [
-        f"{DATA}/kolmogorov/re_1000/trajectories/train_{size}_4.nc"]
+        f"{DATA}/kolmogorov/re_1000/trajectories/train_{size}_{cadence}.nc"]
     if len(train_paths) == 1:
         train_ds = {
             "_target_": "fourierflow_tpu.builders.KolmogorovMarkovDataset",
@@ -428,30 +437,47 @@ def _kochkov_builder(size, k=20, train_paths=None, test_size=None, end=None):
             "_target_": "fourierflow_tpu.builders.KolmogorovMultiDataset",
             "paths": train_paths, "k": k, "batch_size": 32,
         }
-    def traj(split):
+    def traj(split, sz, with_end):
         d = {
             "_target_": "fourierflow_tpu.builders.KolmogorovTrajectoryDataset",
-            "init_path": f"{DATA}/kolmogorov/re_1000/initial_conditions/{split}_{test_size}.nc",
-            "path": f"{DATA}/kolmogorov/re_1000/trajectories/{split}_{test_size}_4.nc",
-            "corr_path": f"{DATA}/kolmogorov/re_1000/trajectories/{split}_32_4.nc",
+            "init_path": f"{DATA}/kolmogorov/re_1000/initial_conditions/{split}_{sz}.nc",
+            "path": f"{DATA}/kolmogorov/re_1000/trajectories/{split}_{sz}_{cadence}.nc",
+            "corr_path": f"{DATA}/kolmogorov/re_1000/trajectories/{split}_32_{cadence}.nc",
             "k": k,
         }
-        if end:
+        if end and with_end:
             d["end"] = end
         return d
     return {
         "_target_": "fourierflow_tpu.builders.KolmogorovBuilder",
         "train_dataset": train_ds,
-        "valid_dataset": traj("valid"),
-        "test_dataset": traj("test"),
+        "valid_dataset": traj("valid", valid_size, False),
+        "test_dataset": traj("test", test_size, True),
         "batch_size": 32,
     }
 
 
-def _kochkov_ffno(size=64, k=20, n_layers=24, **routine_over):
+# Per-grid reference specs (grid_sizes/{size}/config.yaml): batch size,
+# spectral modes, accumulation batches (= batches/epoch), epochs. The
+# cosine schedule always decays over exactly the 10 training epochs
+# (num_training_steps = 10 x max_accumulations in every config).
+KOCH_GRID_SPEC = {
+    64: dict(batch=32, modes=16, acc=2421, epochs=11),
+    128: dict(batch=8, modes=32, acc=9684, epochs=11),
+    256: dict(batch=2, modes=64, acc=38736, epochs=21),
+}
+
+
+def _kochkov_ffno(size=64, k=20, n_layers=24, batch=None, modes=None,
+                  acc=None, epochs=None, **routine_over):
+    spec = KOCH_GRID_SPEC[size]
+    batch = batch or spec["batch"]
+    modes = modes or spec["modes"]
+    acc = acc or spec["acc"]
+    epochs = epochs or spec["epochs"]
     conv = {
         "_target_": "fourierflow_tpu.models.FNOFactorized2DBlock",
-        "modes": 16, "width": 64, "n_layers": n_layers, "input_dim": 5,
+        "modes": modes, "width": 64, "n_layers": n_layers, "input_dim": 5,
         "share_weight": True, "factor": 4, "ff_weight_norm": True,
         "gain": 0.1, "dropout": 0.0, "in_dropout": 0.0,
     }
@@ -461,20 +487,24 @@ def _kochkov_ffno(size=64, k=20, n_layers=24, **routine_over):
         # Simulation time per model step; grid-independent
         # (reference grid_sizes/*/config.yaml:45 uses 64 * k for all sizes).
         "step_size": KOCH_STEP * 64 * k,
-        "max_accumulations": 2421,
+        "max_accumulations": acc,
         "noise_std": 0.01,
         "use_velocity": True,
         "domain": [[0, "${eval:2 * ${import:numpy.pi}}"],
                    [0, "${eval:2 * ${import:numpy.pi}}"]],
         "optimizer": _adamw(lr=0.0025),
-        "scheduler": _cosine(100000),
+        "scheduler": _cosine(acc * (epochs - 1 if epochs else 10)),
     }
     routine.update(routine_over)
+    builder = _kochkov_builder(size, k)
+    builder["batch_size"] = batch
+    if builder["train_dataset"].get("batch_size"):
+        builder["train_dataset"]["batch_size"] = batch
     return {
         "wandb": _wandb("torus_kochkov", ""),
-        "builder": _kochkov_builder(size, k),
+        "builder": builder,
         "routine": routine,
-        "trainer": {"max_epochs": 11, "log_every_n_steps": 100},
+        "trainer": {"max_epochs": epochs, "log_every_n_steps": 100},
         "callbacks": _ckpt("valid_time_until"),
     }
 
@@ -483,14 +513,27 @@ def _kochkov_family() -> Dict[str, dict]:
     out = {}
     for size in (64, 128, 256):
         out[f"torus_kochkov/ffno/grid_sizes/{size}"] = _kochkov_ffno(size)
-        out[f"torus_kochkov/ffno/predictions/{size}"] = _kochkov_ffno(size)
+    # predictions/* reuse grid-trained checkpoints for rollout dumps; the
+    # reference runs 128/256 eval with the modes-32 checkpoint and its
+    # OWN batch/accumulation counts (predictions/{size}/config.yaml).
+    out["torus_kochkov/ffno/predictions/64"] = _kochkov_ffno(64)
+    out["torus_kochkov/ffno/predictions/128"] = _kochkov_ffno(
+        128, batch=32, modes=32, acc=2421)
+    out["torus_kochkov/ffno/predictions/256"] = _kochkov_ffno(
+        256, batch=12, modes=32, acc=6456, epochs=11)
     for n in LAYERS:
         out[f"torus_kochkov/ffno/layers/64/{n}_layers"] = _kochkov_ffno(n_layers=n)
-    for k in (0.25, 0.5, 1, 2, 5, 10, 20, 40, 80):
-        # Dataset stride is >= 1 snapshot; sub-snapshot step sizes reuse
-        # stride 1 with the smaller simulated step_size
-        # (reference step_sizes/64/0.25/config.yaml: k=1, step = 16*dt).
-        cfg = _kochkov_ffno(64, k=max(1, int(k)))
+    # step_sizes/64/{k}: sub-snapshot sizes (0.25, 0.5) switch to the
+    # fine-cadence _1 files (16*dt recording) at dataset k=1/2; the
+    # accumulation counts are the reference's literal values
+    # (step_sizes/64/{k}/config.yaml — incl. its k=40 quirk of 2421).
+    STEP_SIZE_SPEC = {0.25: (1, 1, 2440), 0.5: (2, 1, 2440),
+                      1: (1, 4, 2440), 2: (2, 4, 2439), 5: (5, 4, 2436),
+                      10: (10, 4, 2431), 20: (20, 4, 2421),
+                      40: (40, 4, 2421), 80: (80, 4, 2361)}
+    for k, (dataset_k, cadence, acc) in STEP_SIZE_SPEC.items():
+        cfg = _kochkov_ffno(64, k=dataset_k, acc=acc)
+        cfg["builder"] = _kochkov_builder(64, k=dataset_k, cadence=cadence)
         cfg["routine"]["step_size"] = KOCH_STEP * 64 * k
         out[f"torus_kochkov/ffno/step_sizes/64/{k}"] = cfg
     # Superresolution evaluation: train grids -> eval grid.
@@ -505,14 +548,24 @@ def _kochkov_family() -> Dict[str, dict]:
                      for s in train_sizes]
             cfg = _kochkov_ffno(64)
             cfg["builder"] = _kochkov_builder(
-                64, train_paths=paths, test_size=eval_size, end=800)
+                64, train_paths=paths, test_size=eval_size, valid_size=64,
+                end=800)
             out[f"torus_kochkov/ffno/superresolution/{train_key}/{eval_size}"] = cfg
     for sizes in ([32, 64], [32, 128], [64, 128]):
         key = "_".join(f"x{s}" for s in sizes)
         paths = [f"{DATA}/kolmogorov/re_1000/trajectories/train_{s}_4.nc"
                  for s in sizes]
-        cfg = _kochkov_ffno(max(sizes))
-        cfg["builder"] = _kochkov_builder(max(sizes), train_paths=paths)
+        # reference multi_resolution/*/config.yaml: modes 16 and acc 2421
+        # at every pair; pairs containing 128 drop to batch 8 and
+        # stretch the cosine to 96,840 steps.
+        has128 = 128 in sizes
+        cfg = _kochkov_ffno(max(sizes), batch=8 if has128 else 32,
+                            modes=16, acc=2421, epochs=11)
+        cfg["routine"]["scheduler"] = _cosine(96840 if has128 else 24210)
+        # eval stays at 64^2 (reference multi_resolution/*/config.yaml)
+        cfg["builder"] = _kochkov_builder(64, train_paths=paths)
+        cfg["builder"]["batch_size"] = 8 if has128 else 32
+        cfg["builder"]["train_dataset"]["batch_size"] = 8 if has128 else 32
         out[f"torus_kochkov/ffno/multi_resolution/{key}"] = cfg
     # Ablations.
     out["torus_kochkov/ffno/ablation/no_positional"] = _kochkov_ffno(
@@ -537,7 +590,11 @@ def _kochkov_family() -> Dict[str, dict]:
         nw = _kochkov_ffno(size)
         nw["routine"]["conv"]["share_weight"] = False
         out[f"torus_kochkov/ffno/ablation/ffno-nw/{size}"] = nw
-        pp = _kochkov_ffno(size)
+        # fno++ halves the batch (the unfactorized block is heavier):
+        # reference ablation/fno++/{128,256}/config.yaml.
+        pp_spec = {64: {}, 128: dict(batch=4, acc=19368),
+                   256: dict(batch=1, acc=77472)}[size]
+        pp = _kochkov_ffno(size, **pp_spec)
         pp["routine"]["conv"]["_target_"] = "fourierflow_tpu.models.FNOPlus2DBlock"
         pp["routine"]["conv"]["share_weight"] = False
         out[f"torus_kochkov/ffno/ablation/fno++/{size}"] = pp
@@ -547,7 +604,16 @@ def _kochkov_family() -> Dict[str, dict]:
         fc["routine"]["conv"]["_target_"] = "fourierflow_tpu.models.CNOFactorized2DBlock"
         out[f"torus_kochkov/fcno/grid_sizes/{size}"] = fc
     # Learned interpolation rollouts (Kochkov et al. 2021 reproduction).
-    for size in (32, 64, 128, 256):
+    # Per-size reference params (learned_interpolation/rollout/x*/config
+    # .yaml): the model step dt halves per grid doubling (always ~32x the
+    # grid's DNS-stable step), the file stride k tracks it on the
+    # 16*dt-cadence _1 files, and inner_steps keeps the validation
+    # snapshot cadence.
+    LI_SPEC = {32: (0.014024967203525862, 4, 8),
+               64: (0.007012483601762931, 2, 16),
+               128: (0.0035062418008814655, 1, 32),
+               256: (0.001753121, 1, 32)}
+    for size, (li_dt, li_k, li_inner) in LI_SPEC.items():
         out[f"torus_kochkov/learned_interpolation/rollout/x{size}"] = {
             "wandb": _wandb("torus_kochkov", f"learned_interpolation/x{size}"),
             "builder": {
@@ -555,27 +621,27 @@ def _kochkov_family() -> Dict[str, dict]:
                 "train_dataset": {
                     "_target_": "fourierflow_tpu.builders.KolmogorovVelocityDataset",
                     "path": f"{DATA}/kolmogorov/re_1000/trajectories/train_{size}_1.nc",
-                    "k": 2, "unroll_length": 32,
+                    "k": li_k, "unroll_length": 32,
                 },
                 "valid_dataset": {
                     "_target_": "fourierflow_tpu.builders.KolmogorovVelocityTrajectoryDataset",
                     "init_path": f"{DATA}/kolmogorov/re_1000/initial_conditions/valid_{size}.nc",
                     "corr_path": f"{DATA}/kolmogorov/re_1000/trajectories/valid_32_1.nc",
-                    "k": 2, "inner_steps": 16, "outer_steps": 100,
+                    "k": li_k, "inner_steps": li_inner, "outer_steps": 100,
                 },
                 "test_dataset": {
                     "_target_": "fourierflow_tpu.builders.KolmogorovVelocityTrajectoryDataset",
                     "init_path": f"{DATA}/kolmogorov/re_1000/initial_conditions/test_{size}.nc",
                     "corr_path": f"{DATA}/kolmogorov/re_1000/trajectories/test_32_1.nc",
-                    "k": 2, "inner_steps": 16, "outer_steps": 100,
+                    "k": li_k, "inner_steps": li_inner, "outer_steps": 100,
                 },
                 "batch_size": 4,
             },
             "routine": {
                 "_target_": "fourierflow_tpu.routines.LearnedInterpolatorRoutine",
                 "size": size,
-                "dt": 0.007012483601762931,
-                "inner_steps": 16, "outer_steps": 100, "unroll_length": 32,
+                "dt": li_dt,
+                "inner_steps": li_inner, "outer_steps": 100, "unroll_length": 32,
                 "optimizer": _adamw(lr=0.001),
             },
             "trainer": {"max_epochs": 10, "limit_train_batches": 4000},
