@@ -277,3 +277,107 @@ def test_generate_decaying_spectral_and_projection(tmp_path, monkeypatch):
             # is ~2-3% over this tiny horizon, below discretization noise,
             # so assert stability rather than strict monotone decay).
             assert energy[-1] < 1.2 * energy[0]
+
+
+def test_kochkov_per_grid_reference_specs():
+    """The torus_kochkov configs carry the reference's literal per-grid
+    batch/modes/accumulation/epoch values
+    (reference:experiments/torus_kochkov/ffno/grid_sizes/{64,128,256}/
+    config.yaml and predictions/, ablation/fno++/, multi_resolution/)."""
+    g64 = get_experiment("torus_kochkov/ffno/grid_sizes/64")
+    assert g64["builder"]["batch_size"] == 32
+    assert g64["routine"]["conv"]["modes"] == 16
+    assert g64["routine"]["max_accumulations"] == 2421
+    assert g64["trainer"]["max_epochs"] == 11
+
+    g128 = get_experiment("torus_kochkov/ffno/grid_sizes/128")
+    assert g128["builder"]["batch_size"] == 8
+    assert g128["routine"]["conv"]["modes"] == 32
+    assert g128["routine"]["max_accumulations"] == 9684
+
+    g256 = get_experiment("torus_kochkov/ffno/grid_sizes/256")
+    assert g256["builder"]["batch_size"] == 2
+    assert g256["routine"]["conv"]["modes"] == 64
+    assert g256["routine"]["max_accumulations"] == 38736
+    assert g256["trainer"]["max_epochs"] == 21
+
+    # predictions/256 evaluates with the modes-32 checkpoint shape.
+    p256 = get_experiment("torus_kochkov/ffno/predictions/256")
+    assert p256["routine"]["conv"]["modes"] == 32
+    assert p256["builder"]["batch_size"] == 12
+    assert p256["routine"]["max_accumulations"] == 6456
+
+    # fno++ halves batches at the big grids.
+    pp = get_experiment("torus_kochkov/ffno/ablation/fno++/256")
+    assert pp["builder"]["batch_size"] == 1
+    assert pp["routine"]["max_accumulations"] == 77472
+
+
+def test_kochkov_step_size_cadence_and_budgets():
+    """Sub-snapshot step sizes (0.25, 0.5) read the fine-cadence _1
+    files at dataset stride 1/2; every k carries the reference's literal
+    accumulation count (reference:experiments/torus_kochkov/ffno/
+    step_sizes/64/{k}/config.yaml)."""
+    KOCH_STEP = 0.0002191401125550916
+
+    quarter = get_experiment("torus_kochkov/ffno/step_sizes/64/0.25")
+    train = quarter["builder"]["train_dataset"]
+    assert train["path"].endswith("train_64_1.nc")
+    assert train["k"] == 1
+    assert quarter["routine"]["max_accumulations"] == 2440
+    assert quarter["routine"]["step_size"] == pytest.approx(
+        KOCH_STEP * 64 * 0.25)
+
+    half = get_experiment("torus_kochkov/ffno/step_sizes/64/0.5")
+    assert half["builder"]["train_dataset"]["k"] == 2
+    assert half["builder"]["train_dataset"]["path"].endswith("train_64_1.nc")
+
+    k40 = get_experiment("torus_kochkov/ffno/step_sizes/64/40")
+    assert k40["builder"]["train_dataset"]["path"].endswith("train_64_4.nc")
+    assert k40["builder"]["train_dataset"]["k"] == 40
+    assert k40["routine"]["max_accumulations"] == 2421  # the ref's quirk
+
+    k80 = get_experiment("torus_kochkov/ffno/step_sizes/64/80")
+    assert k80["routine"]["max_accumulations"] == 2361
+
+
+def test_learned_interpolation_per_size_specs():
+    """LI rollout dt halves per grid doubling with matching file stride
+    and validation cadence (reference:experiments/torus_kochkov/
+    learned_interpolation/rollout/x{32,64,128,256}/config.yaml)."""
+    expect = {32: (0.014024967203525862, 4, 8),
+              64: (0.007012483601762931, 2, 16),
+              128: (0.0035062418008814655, 1, 32)}
+    for size, (dt, k, inner) in expect.items():
+        cfg = get_experiment(
+            f"torus_kochkov/learned_interpolation/rollout/x{size}")
+        assert cfg["routine"]["dt"] == pytest.approx(dt)
+        assert cfg["routine"]["inner_steps"] == inner
+        assert cfg["builder"]["train_dataset"]["k"] == k
+        assert cfg["builder"]["valid_dataset"]["inner_steps"] == inner
+
+
+def test_superresolution_validates_at_train_grid():
+    """Superresolution configs validate at the training grid and test at
+    the eval grid, with `end` applied to the test split only
+    (reference:experiments/torus_kochkov/ffno/superresolution/*)."""
+    cfg = get_experiment(
+        "torus_kochkov/ffno/superresolution/train_with_x32_x64/128")
+    valid = cfg["builder"]["valid_dataset"]
+    test = cfg["builder"]["test_dataset"]
+    assert valid["path"].endswith("valid_64_4.nc")
+    assert test["path"].endswith("test_128_4.nc")
+    assert "end" not in valid and test["end"] == 800
+
+
+def test_torus_li_ablation_budgets_and_teacher_forcing():
+    """zongyi_markov ablations train the reference's 500 epochs; the
+    teacher-forcing ablation is the Zongyi ROLLOUT conv (12/12/20), not
+    the markov conv (reference:experiments/torus_li/ablation/)."""
+    zm = get_experiment("torus_li/ablation/zongyi_markov/4_layers")
+    assert zm["trainer"]["max_epochs"] == 500
+    tf = get_experiment("torus_li/ablation/teacher_forcing/4_layers")
+    assert tf["routine"]["teacher_forcing"] is True
+    conv = tf["routine"]["conv"]
+    assert conv["_target_"].endswith("FNOZongyi2DBlock")
+    assert (conv["modes1"], conv["modes2"], conv["width"]) == (12, 12, 20)
