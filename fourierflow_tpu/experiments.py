@@ -535,6 +535,11 @@ def _kochkov_family() -> Dict[str, dict]:
         cfg = _kochkov_ffno(64, k=dataset_k, acc=acc)
         cfg["builder"] = _kochkov_builder(64, k=dataset_k, cadence=cadence)
         cfg["routine"]["step_size"] = KOCH_STEP * 64 * k
+        if k == 40:
+            # The reference's k=40 config keeps max_accumulations at 2421
+            # but pins the cosine to 24010 steps ("2401 per epoch" quirk,
+            # step_sizes/64/40/config.yaml:64) instead of acc*(epochs-1).
+            cfg["routine"]["scheduler"] = _cosine(24010)
         out[f"torus_kochkov/ffno/step_sizes/64/{k}"] = cfg
     # Superresolution evaluation: train grids -> eval grid.
     for train_key, train_sizes in {
@@ -562,8 +567,11 @@ def _kochkov_family() -> Dict[str, dict]:
         cfg = _kochkov_ffno(max(sizes), batch=8 if has128 else 32,
                             modes=16, acc=2421, epochs=11)
         cfg["routine"]["scheduler"] = _cosine(96840 if has128 else 24210)
-        # eval stays at 64^2 (reference multi_resolution/*/config.yaml)
-        cfg["builder"] = _kochkov_builder(64, train_paths=paths)
+        # Eval grid per reference literals: x32_x64 and x64_x128 evaluate
+        # at 64^2, but x32_x128 evaluates at 128^2 (its config.yaml reads
+        # valid_128_4.nc/test_128_4.nc with init valid_128).
+        eval_size = 128 if sizes == [32, 128] else 64
+        cfg["builder"] = _kochkov_builder(eval_size, train_paths=paths)
         cfg["builder"]["batch_size"] = 8 if has128 else 32
         cfg["builder"]["train_dataset"]["batch_size"] = 8 if has128 else 32
         out[f"torus_kochkov/ffno/multi_resolution/{key}"] = cfg
@@ -609,30 +617,34 @@ def _kochkov_family() -> Dict[str, dict]:
     # grid's DNS-stable step), the file stride k tracks it on the
     # 16*dt-cadence _1 files, and inner_steps keeps the validation
     # snapshot cadence.
-    LI_SPEC = {32: (0.014024967203525862, 4, 8),
-               64: (0.007012483601762931, 2, 16),
-               128: (0.0035062418008814655, 1, 32),
-               256: (0.001753121, 1, 32)}
-    for size, (li_dt, li_k, li_inner) in LI_SPEC.items():
+    # x256 reads the short_trajectories/ files (incl. the 32^2 corr files)
+    # and its ROUTINE steps 64 inner sub-steps per recorded snapshot while
+    # the dataset cadence stays 32 (rollout/x256/config.yaml:13-31,41).
+    LI_SPEC = {32: (0.014024967203525862, 4, 8, 8),
+               64: (0.007012483601762931, 2, 16, 16),
+               128: (0.0035062418008814655, 1, 32, 32),
+               256: (0.001753121, 1, 32, 64)}
+    for size, (li_dt, li_k, li_inner, li_routine_inner) in LI_SPEC.items():
+        traj_dir = "short_trajectories" if size == 256 else "trajectories"
         out[f"torus_kochkov/learned_interpolation/rollout/x{size}"] = {
             "wandb": _wandb("torus_kochkov", f"learned_interpolation/x{size}"),
             "builder": {
                 "_target_": "fourierflow_tpu.builders.KolmogorovBuilder",
                 "train_dataset": {
                     "_target_": "fourierflow_tpu.builders.KolmogorovVelocityDataset",
-                    "path": f"{DATA}/kolmogorov/re_1000/trajectories/train_{size}_1.nc",
+                    "path": f"{DATA}/kolmogorov/re_1000/{traj_dir}/train_{size}_1.nc",
                     "k": li_k, "unroll_length": 32,
                 },
                 "valid_dataset": {
                     "_target_": "fourierflow_tpu.builders.KolmogorovVelocityTrajectoryDataset",
                     "init_path": f"{DATA}/kolmogorov/re_1000/initial_conditions/valid_{size}.nc",
-                    "corr_path": f"{DATA}/kolmogorov/re_1000/trajectories/valid_32_1.nc",
+                    "corr_path": f"{DATA}/kolmogorov/re_1000/{traj_dir}/valid_32_1.nc",
                     "k": li_k, "inner_steps": li_inner, "outer_steps": 100,
                 },
                 "test_dataset": {
                     "_target_": "fourierflow_tpu.builders.KolmogorovVelocityTrajectoryDataset",
                     "init_path": f"{DATA}/kolmogorov/re_1000/initial_conditions/test_{size}.nc",
-                    "corr_path": f"{DATA}/kolmogorov/re_1000/trajectories/test_32_1.nc",
+                    "corr_path": f"{DATA}/kolmogorov/re_1000/{traj_dir}/test_32_1.nc",
                     "k": li_k, "inner_steps": li_inner, "outer_steps": 100,
                 },
                 "batch_size": 4,
@@ -641,7 +653,7 @@ def _kochkov_family() -> Dict[str, dict]:
                 "_target_": "fourierflow_tpu.routines.LearnedInterpolatorRoutine",
                 "size": size,
                 "dt": li_dt,
-                "inner_steps": li_inner, "outer_steps": 100, "unroll_length": 32,
+                "inner_steps": li_routine_inner, "outer_steps": 100, "unroll_length": 32,
                 "optimizer": _adamw(lr=0.001),
             },
             "trainer": {"max_epochs": 10, "limit_train_batches": 4000},

@@ -140,7 +140,7 @@ def main():
     with open(os.path.join(d, "elasticity_standin.json"), "w") as f:
         json.dump(out, f, indent=2)
     print(f"[job] {args.config} on stand-in data: "
-          f"test_loss {out.get('test_loss'):.4f} ({out['wall_s']:.0f}s)",
+          f"test_loss {out.get('test_loss', float('nan')):.4f} ({out['wall_s']:.0f}s)",
           flush=True)
     print(json.dumps(out, indent=1), flush=True)
 

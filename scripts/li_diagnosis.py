@@ -58,7 +58,7 @@ def main():
     from fourierflow_tpu.utils.equations import NavierStokes2D, crank_nicolson_rk4
     from fourierflow_tpu.utils.forcings import simple_turbulence_forcing
     from fourierflow_tpu.utils.spectral import downsample_vorticity, grid_correlation
-    from fourierflow_tpu.ops.fourier import rfftn_pair, irfftn_pair
+    from fourierflow_tpu.ops.fourier import irfft2, rfft2
 
     d = args.data_dir
     with h5py.File(os.path.join(d, "test_init_64.h5"), "r") as f:
@@ -85,7 +85,7 @@ def main():
         # UNIMPLEMENTED on the axon backend; under jit it is fine).
         @jax.jit
         def run(w):
-            what = jnp.fft.rfft2(w, axes=(-2, -1))
+            what = rfft2(w, axes=(-2, -1))
 
             def snapshot(carry, _):
                 def inner(c, _):
@@ -95,7 +95,7 @@ def main():
                     inner, carry, None,
                     length=SNAPSHOT_MODEL_STEPS * substeps)
                 w32 = downsample_vorticity(
-                    jnp.fft.irfft2(c, s=(64, 64), axes=(-2, -1))[..., None],
+                    irfft2(c, s=(64, 64), axes=(-2, -1))[..., None],
                     32)[..., 0]
                 return c, w32
 

@@ -134,8 +134,8 @@ def main():
     with open(os.path.join(args.data_dir, "mgn_standin.json"), "w") as f:
         json.dump(out, f, indent=2)
     print(f"[job] cylinder_flow/baseline on stand-in: train_loss "
-          f"{out.get('train_loss'):.4f}, 50-step rollout test_loss "
-          f"{out.get('test_loss'):.4f}, persistence {persistence:.4f} "
+          f"{out.get('train_loss', float('nan')):.4f}, 50-step rollout test_loss "
+          f"{out.get('test_loss', float('nan')):.4f}, persistence {persistence:.4f} "
           f"({out['wall_s']:.0f}s)", flush=True)
     print(json.dumps(out, indent=1), flush=True)
 

@@ -72,7 +72,7 @@ def main():
     results["vis_03_no_mu_force"] = out
     with open(results_path, "w") as f:
         json.dump(results, f, indent=2)
-    print(f"[job] vis_03_no_mu_force: test_loss {out.get('test_loss'):.4f} "
+    print(f"[job] vis_03_no_mu_force: test_loss {out.get('test_loss', float('nan')):.4f} "
           f"test_corr {out.get('test_corr', float('nan')):.4f} "
           f"({out['wall_s']:.0f}s)", flush=True)
     print(json.dumps(out, indent=1), flush=True)

@@ -336,9 +336,33 @@ def test_kochkov_step_size_cadence_and_budgets():
     assert k40["builder"]["train_dataset"]["path"].endswith("train_64_4.nc")
     assert k40["builder"]["train_dataset"]["k"] == 40
     assert k40["routine"]["max_accumulations"] == 2421  # the ref's quirk
+    # ...and the matching scheduler quirk: cosine pinned to 24010 steps
+    # ("2401 per epoch", step_sizes/64/40/config.yaml:64), not
+    # acc*(epochs-1)=24210 like its siblings.
+    assert (k40["routine"]["scheduler"]["scheduler"]["num_training_steps"]
+            == 24010)
+    k20 = get_experiment("torus_kochkov/ffno/step_sizes/64/20")
+    assert (k20["routine"]["scheduler"]["scheduler"]["num_training_steps"]
+            == 24210)
 
     k80 = get_experiment("torus_kochkov/ffno/step_sizes/64/80")
     assert k80["routine"]["max_accumulations"] == 2361
+
+
+def test_multi_resolution_eval_grids():
+    """x32_x64 and x64_x128 evaluate at 64^2 but x32_x128 evaluates at
+    128^2 (reference:experiments/torus_kochkov/ffno/multi_resolution/
+    x32_x128/config.yaml reads valid_128_4.nc/test_128_4.nc)."""
+    for key, eval_size in (("x32_x64", 64), ("x64_x128", 64),
+                           ("x32_x128", 128)):
+        cfg = get_experiment(f"torus_kochkov/ffno/multi_resolution/{key}")
+        valid = cfg["builder"]["valid_dataset"]
+        test = cfg["builder"]["test_dataset"]
+        assert valid["path"].endswith(f"valid_{eval_size}_4.nc"), key
+        assert valid["init_path"].endswith(f"valid_{eval_size}.nc"), key
+        assert test["path"].endswith(f"test_{eval_size}_4.nc"), key
+        # the 32^2 correlation files ride along at every pair
+        assert valid["corr_path"].endswith("valid_32_4.nc"), key
 
 
 def test_learned_interpolation_per_size_specs():
@@ -355,6 +379,21 @@ def test_learned_interpolation_per_size_specs():
         assert cfg["routine"]["inner_steps"] == inner
         assert cfg["builder"]["train_dataset"]["k"] == k
         assert cfg["builder"]["valid_dataset"]["inner_steps"] == inner
+        assert "/trajectories/" in cfg["builder"]["train_dataset"]["path"]
+
+    # x256 is the odd one out: short_trajectories/ files (incl. the 32^2
+    # corr files) and a routine that takes 64 sub-steps per recorded
+    # snapshot while the dataset cadence stays 32
+    # (reference rollout/x256/config.yaml:13-31,41).
+    x256 = get_experiment("torus_kochkov/learned_interpolation/rollout/x256")
+    assert x256["routine"]["dt"] == pytest.approx(0.001753121)
+    assert x256["routine"]["inner_steps"] == 64
+    assert x256["builder"]["valid_dataset"]["inner_steps"] == 32
+    assert "/short_trajectories/" in x256["builder"]["train_dataset"]["path"]
+    assert x256["builder"]["valid_dataset"]["corr_path"].endswith(
+        "short_trajectories/valid_32_1.nc")
+    assert x256["builder"]["test_dataset"]["corr_path"].endswith(
+        "short_trajectories/test_32_1.nc")
 
 
 def test_superresolution_validates_at_train_grid():
