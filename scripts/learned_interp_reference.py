@@ -107,6 +107,12 @@ def main():
     p.add_argument("--outer", type=int, default=100)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--trial", type=int, default=0)
+    p.add_argument("--decay-steps", type=int, default=40000,
+                   help="cosine decay budget; the reference protocol is "
+                   "40k. The round-5 data-volume test runs a complete "
+                   "half-budget cosine (20k) instead of truncating the "
+                   "40k schedule mid-decay, since round 4 measured "
+                   "quality convergence by ~16k steps")
     p.add_argument("--resume", action="store_true",
                    help="continue from <data-dir>/ckpt/last.ckpt; the "
                    "restored optimizer step positions the LR schedule and "
@@ -179,8 +185,8 @@ def main():
             optax.clip_by_global_norm(1.0),
             optax.adamw(
                 optax.warmup_cosine_decay_schedule(
-                    0.0, 1e-3, warmup_steps=500, decay_steps=40000,
-                    end_value=0.0),
+                    0.0, 1e-3, warmup_steps=500,
+                    decay_steps=args.decay_steps, end_value=0.0),
                 b1=0.9, b2=0.99, weight_decay=1e-4))),
     )
     # limit_train_batches=4000: the reference trains 10 epochs x 4000

@@ -77,6 +77,13 @@ def main():
     p.add_argument("--val-every", type=int, default=5)
     p.add_argument("--max-epochs-override", type=int, default=0)
     p.add_argument("--layers-override", type=int, default=0)
+    p.add_argument("--trials", type=int, default=1,
+                   help="independent seeds per job (trial t keys the "
+                   "study as <name>_trial<t> for t>0; trial 0 keeps the "
+                   "bare <name> so existing single-trial studies resume)")
+    p.add_argument("--only", default="",
+                   help="comma-separated job-name filter, e.g. "
+                   "vis_01_baseline,vis_03_no_mu_force")
     args = p.parse_args()
 
     os.makedirs(args.data_dir, exist_ok=True)
@@ -94,33 +101,42 @@ def main():
 
     from fourierflow_tpu.commands import train as train_cmd
 
+    only = {n for n in args.only.split(",") if n}
     for name, config, dset in JOBS:
-        if name in results:
-            print(f"[job] {name} already done, skipping", flush=True)
+        if only and name not in only:
             continue
-        overrides = [
-            f"builder.data_path={vis if dset == 'vis' else forced}",
-            "builder.ssr=1",  # data is generated at 64^2 directly
-            f"trainer.check_val_every_n_epoch={args.val_every}",
-        ]
-        if args.max_epochs_override:
-            overrides.append(f"trainer.max_epochs={args.max_epochs_override}")
-        if args.layers_override:
-            overrides.append(f"routine.conv.n_layers={args.layers_override}")
-        t0 = time.time()
-        trainer, _ = train_cmd.main(config, overrides=overrides, trial=0,
-                                    force=True)
-        out = {k: float(v) for k, v in trainer.logs.items() if np.ndim(v) == 0}
-        corr = trainer.logs.get("test_correlations")
-        if corr is not None:
-            out["test_mean_rho"] = float(np.mean(corr))
-        out["wall_s"] = round(time.time() - t0, 1)
-        results[name] = out
-        with open(results_path, "w") as f:
-            json.dump(results, f, indent=2)
-        print(f"[job] {name}: test_loss {out.get('test_loss'):.4f} "
-              f"test_corr {out.get('test_corr', float('nan')):.4f} "
-              f"({out['wall_s']:.0f}s)", flush=True)
+        for trial in range(args.trials):
+            key = name if trial == 0 else f"{name}_trial{trial}"
+            if key in results:
+                print(f"[job] {key} already done, skipping", flush=True)
+                continue
+            overrides = [
+                f"builder.data_path={vis if dset == 'vis' else forced}",
+                "builder.ssr=1",  # data is generated at 64^2 directly
+                f"trainer.check_val_every_n_epoch={args.val_every}",
+            ]
+            if args.max_epochs_override:
+                overrides.append(
+                    f"trainer.max_epochs={args.max_epochs_override}")
+            if args.layers_override:
+                overrides.append(
+                    f"routine.conv.n_layers={args.layers_override}")
+            t0 = time.time()
+            trainer, _ = train_cmd.main(config, overrides=overrides,
+                                        trial=trial, force=True)
+            out = {k: float(v) for k, v in trainer.logs.items()
+                   if np.ndim(v) == 0}
+            corr = trainer.logs.get("test_correlations")
+            if corr is not None:
+                out["test_mean_rho"] = float(np.mean(corr))
+            out["wall_s"] = round(time.time() - t0, 1)
+            results[key] = out
+            with open(results_path, "w") as f:
+                json.dump(results, f, indent=2)
+            print(f"[job] {key}: "
+                  f"test_loss {out.get('test_loss', float('nan')):.4f} "
+                  f"test_corr {out.get('test_corr', float('nan')):.4f} "
+                  f"({out['wall_s']:.0f}s)", flush=True)
 
     print(json.dumps({n: {k: round(v, 4) for k, v in r.items()}
                       for n, r in results.items()}, indent=1), flush=True)
