@@ -89,9 +89,13 @@ if [ ! -s /root/repo/artifacts/bench_r5_selfcheck.json ]; then
   cat /root/repo/artifacts/bench_r5_selfcheck.json
 fi
 
-# 1. MGN real-flow stand-in (~5 chip-min; VERDICT r4 #7).
+# 1. MGN real-flow stand-in (~5 chip-min; VERDICT r4 #7). The original
+#    default source (li_ref/train_64_1.h5) was cleaned off the data disk;
+#    the ksweep's 512^2-generated train_64_1.h5 has the same vx/vy layout
+#    ([32, 2441, 64, 64]) and 32 trajectories covers the 24+4+4 splits.
 if [ ! -s /root/data/mgn/mgn_standin.json ]; then
-  stage mgn_standin 1500 python -u scripts/mgn_standin.py --data-dir /root/data/mgn
+  stage mgn_standin 1500 python -u scripts/mgn_standin.py \
+    --data-dir /root/data/mgn --source "$KDIR/train_64_1.h5"
 fi
 harvest /root/data/mgn/mgn_standin.json mgn_standin.json
 
