@@ -61,7 +61,7 @@ def flops_per_train_step(batch, n, width, modes, n_layers, factor, input_dim):
     return 3 * fwd
 
 
-def _wait_for_healthy_device(attempts=8, probe_timeout=120, sleep_s=240):
+def _wait_for_healthy_device(attempts=8, probe_timeout=240, sleep_s=240):
     """Wait (bounded) for the TPU relay to answer a tiny matmul.
 
     A wedged axon relay HANGS rather than erroring, and a hang in this
@@ -69,9 +69,12 @@ def _wait_for_healthy_device(attempts=8, probe_timeout=120, sleep_s=240):
     subprocess that can be killed. This process only touches the device
     after a probe succeeds (or after all attempts are exhausted, in which
     case we proceed anyway — no worse than probing nothing). The default
-    window (8 x 120 s probes + 7 x 240 s sleeps ~ 44 min) outlasts the
-    relay's measured 30+ min wedge after a worker fault. No-op off the
-    TPU relay (cpu/gpu platforms answer immediately).
+    window (8 x 240 s probes + 7 x 240 s sleeps ~ 56 min) outlasts the
+    relay's measured 30+ min wedge after a worker fault, and the per-probe
+    timeout covers the measured round-5 cold-connection cost (the first
+    compile of a NEW client process took 120-240 s — a 120 s probe window
+    failed repeatedly while a 240 s one passed). No-op off the TPU relay
+    (cpu/gpu platforms answer immediately).
     """
     last_err = ""
     probe = (
