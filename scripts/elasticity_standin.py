@@ -103,6 +103,10 @@ def main():
     p.add_argument("--override", action="append", default=[],
                    help="extra dotted config overrides (smoke runs: "
                    "builder.train_size=40 trainer.max_epochs=2 ...)")
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the newest last.ckpt instead of "
+                   "restarting (epoch granularity; lets a killed stage "
+                   "pick up where it stopped)")
     args = p.parse_args()
 
     d = args.data_dir
@@ -131,7 +135,7 @@ def main():
             f"trainer.check_val_every_n_epoch={args.val_every}",
             *args.override,
         ],
-        trial=0, force=True,
+        trial=0, force=not args.resume, resume=args.resume,
         config_dir=os.path.join(d, "runs", args.config.replace("/", "_")))
     out = {k: float(v) for k, v in trainer.logs.items() if np.ndim(v) == 0}
     out["wall_s"] = round(time.time() - t0, 1)

@@ -78,8 +78,8 @@ fi
 # 1. Elasticity stand-in at the full registry budget (VERDICT r4 #4).
 #    Self-contained (synthetic Kirsch-stress dataset), ~15 chip-min.
 if [ ! -s /root/data/elasticity/elasticity_standin.json ]; then
-  stage elasticity 2100 python -u scripts/elasticity_standin.py \
-    --data-dir /root/data/elasticity
+  stage elasticity 3600 python -u scripts/elasticity_standin.py \
+    --data-dir /root/data/elasticity --resume
 fi
 harvest /root/data/elasticity/elasticity_standin.json elasticity_standin.json
 
