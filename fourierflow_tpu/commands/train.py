@@ -86,6 +86,27 @@ def build_trainer(trainer_cfg: dict, callbacks=()):
     )
 
 
+def resolve_test_state(callbacks, state, trainer=None):
+    """State for the post-fit test pass: the best MONITORED checkpoint if
+    one was saved, else the final fit state (reference commands/
+    train.py:125-131 loads the best checkpoint before trainer.test; with
+    monitor=None the last save IS the final state, so nothing to load).
+    Weights/normalizer/step only — the test pass needs no optimizer
+    state. Skipped under tensor parallelism, where the live state carries
+    device shardings a host-side restore would drop."""
+    if trainer is not None and getattr(trainer, "tensor_parallel", 1) > 1:
+        return state
+    for cb in callbacks:
+        if (isinstance(cb, ModelCheckpoint) and cb.monitor is not None
+                and cb.best_path and os.path.exists(cb.best_path)):
+            from ..trainers.callbacks import load_inference_state
+
+            logger.info("testing with best checkpoint %s (%s=%.6g)",
+                        cb.best_path, cb.monitor, cb.best)
+            return load_inference_state(cb.best_path, state)
+    return state
+
+
 def _is_torch_checkpoint(path: str) -> bool:
     """Torch/Lightning checkpoints are zip archives ('PK') or legacy
     pickles ('\\x80'); native checkpoints are msgpack files or orbax
@@ -226,7 +247,8 @@ def main(
         state = trainer.fit(routine, builder, state=state)
 
     if not no_test:
-        logs = trainer.test(routine, builder, state)
+        logs = trainer.test(routine, builder,
+                            resolve_test_state(callbacks, state, trainer))
         logger.info("test logs: %s", {k: v for k, v in logs.items() if np.ndim(v) == 0})
 
     return trainer, state

@@ -377,6 +377,38 @@ def test_rollout_fourier_position(synthetic_dataset):
     assert not np.allclose(kernel0, kernel1), "in_proj received no gradient"
 
 
+def test_post_fit_test_uses_best_checkpoint(synthetic_dataset, tmp_path):
+    """The post-fit test pass restores the best MONITORED checkpoint
+    rather than the final fit state (reference commands/train.py:125-131
+    loads best before trainer.test); with monitor=None (the flagship
+    keeps-last convention) the live state is used untouched."""
+    from fourierflow_tpu.commands.train import resolve_test_state
+    from fourierflow_tpu.trainers import ModelCheckpoint
+    from fourierflow_tpu.trainers.callbacks import save_state
+
+    builder = NSMarkovBuilder(
+        synthetic_dataset, train_size=8, test_size=4, ssr=1, batch_size=4
+    )
+    routine = _markov_routine()
+    state = routine.init(jax.random.PRNGKey(0), builder.sample_batch())
+    best = state.replace(params=jax.tree.map(lambda x: x + 1.0, state.params))
+    best_path = str(tmp_path / "best.ckpt")
+    save_state(best_path, jax.device_get(best))
+
+    cb = ModelCheckpoint(str(tmp_path), monitor="valid_loss")
+    cb.best_path, cb.best = best_path, 0.125
+    out = resolve_test_state([cb], state)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(out.params)[0]),
+        np.asarray(jax.tree.leaves(best.params)[0]),
+    )
+    # monitor=None -> the final state is already the last save
+    assert resolve_test_state([ModelCheckpoint(str(tmp_path))], state) is state
+    # missing best file -> fall back to the final state
+    cb.best_path = str(tmp_path / "gone.ckpt")
+    assert resolve_test_state([cb], state) is state
+
+
 def test_checkpoint_roundtrip(synthetic_dataset, tmp_path):
     builder = NSMarkovBuilder(
         synthetic_dataset, train_size=8, test_size=4, ssr=1, batch_size=4
