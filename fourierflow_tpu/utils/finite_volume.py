@@ -37,22 +37,55 @@ def _roll(x, shift, axis):
     return jnp.roll(x, shift, axis=axis)
 
 
-def _fd_laplacian_eigs(shape, h):
-    """DFT eigenvalues of the periodic N-D 2nd-order Laplacian; the zero
-    mode is replaced by 1 (pressure gauge). numpy, rfft layout on the last
-    axis."""
+def _fd_laplacian_eigs_1d(shape, h):
+    """Per-axis DFT eigenvalue vectors of the periodic N-D 2nd-order
+    Laplacian (numpy, rfft layout on the last axis). Kept 1-D so callers
+    can assemble the N-D array ON DEVICE with a broadcast sum — embedding
+    the materialized N-D array as an HLO constant scales as N^3 and blows
+    the relay's compile-payload limit at 512^3 (HTTP 413, measured: the
+    full inv-eigenvalue constant alone is 512*512*257*4 B = 270 MB).
+    Each vector's k=0 entry is exactly 0.0, so the zero mode is exactly
+    the all-axes-zero index downstream."""
     ndim = len(shape)
-    lam = np.zeros(tuple(shape[:-1]) + (shape[-1] // 2 + 1,), dtype=np.float64)
+    out = []
     for d, n in enumerate(shape):
         k = np.arange(n if d < ndim - 1 else n // 2 + 1)
-        eig = (2.0 * np.cos(2.0 * np.pi * k / n) - 2.0) / h[d] ** 2
+        out.append(((2.0 * np.cos(2.0 * np.pi * k / n) - 2.0)
+                    / h[d] ** 2).astype(np.float32))
+    return out
+
+
+def _fd_laplacian_eigs(shape, h):
+    """DFT eigenvalues of the periodic N-D 2nd-order Laplacian, inverted
+    with the zero mode zeroed (pressure gauge). numpy, rfft layout on the
+    last axis. Prefer ``_inv_laplacian_on_device`` in traced code at
+    large shapes (see ``_fd_laplacian_eigs_1d``)."""
+    ndim = len(shape)
+    lam = np.zeros(tuple(shape[:-1]) + (shape[-1] // 2 + 1,), dtype=np.float64)
+    for d, vec in enumerate(_fd_laplacian_eigs_1d(shape, h)):
         sh = [1] * ndim
-        sh[d] = len(k)
-        lam = lam + eig.reshape(sh)
+        sh[d] = len(vec)
+        lam = lam + vec.astype(np.float64).reshape(sh)
     lam[(0,) * ndim] = 1.0
     inv = np.where(lam == 0.0, 0.0, 1.0 / lam)
     inv[(0,) * ndim] = 0.0
     return inv.astype(np.float32)
+
+
+def _inv_laplacian_on_device(shape, h, dtype):
+    """Inverse FD-Laplacian eigenvalues assembled on device from tiny 1-D
+    constants (broadcast sum + reciprocal). Every per-axis term is <= 0
+    and equals 0 only at that axis' k=0, so the sum is 0 exactly at the
+    all-zero mode and strictly negative elsewhere — the ``== 0`` gauge
+    mask is exact in f32."""
+    ndim = len(shape)
+    lam = None
+    for d, vec in enumerate(_fd_laplacian_eigs_1d(shape, h)):
+        sh = [1] * ndim
+        sh[d] = len(vec)
+        term = jnp.asarray(vec, dtype=dtype).reshape(sh)
+        lam = term if lam is None else lam + term
+    return jnp.where(lam == 0.0, 0.0, 1.0 / jnp.where(lam == 0.0, 1.0, lam))
 
 
 def pressure_projection_nd(vel: Tuple[jax.Array, ...], h) -> Tuple[jax.Array, ...]:
@@ -64,7 +97,7 @@ def pressure_projection_nd(vel: Tuple[jax.Array, ...], h) -> Tuple[jax.Array, ..
     div = sum(
         (v - _roll(v, 1, ax)) / h[d] for d, (v, ax) in enumerate(zip(vel, axes))
     )
-    inv_lam = jnp.asarray(_fd_laplacian_eigs(shape, h), dtype=vel[0].dtype)
+    inv_lam = _inv_laplacian_on_device(shape, h, vel[0].dtype)
     dr, di = rfftn_pair(div, axes=axes)
     p = irfftn_pair(dr * inv_lam, di * inv_lam, s=shape, axes=axes)
     return tuple(
@@ -286,40 +319,47 @@ def semi_implicit_navier_stokes(
     return rk4_step if stepper == "rk4" else euler_step
 
 
-def filtered_velocity_field_3d(
-    key, grid, maximum_velocity: float = 7.0, peak_wavenumber: float = 4.0
-):
-    """Random divergence-free 3D velocity: curl of a smooth random vector
-    potential with the energy peak near ``peak_wavenumber``, rescaled to
-    ``maximum_velocity`` (jax-cfd filtered_velocity_field equivalent for
-    the 3D projection path). Exactly divergence-free in the FD sense after
-    one projection."""
-    shape = grid.shape
-    h = grid.step
-    keys = jax.random.split(key, 3)
-    lengths = [d[1] - d[0] for d in grid.domain]
+def potential_noise_3d(key, grid, peak_wavenumber: float = 4.0):
+    """One spectrally-filtered white-noise scalar field — a vector-
+    potential component of ``filtered_velocity_field_3d``, exposed so big
+    grids can build the IC in bounded per-component dispatches (a fused
+    512^3 IC would be a single multi-minute dispatch, which kills the TPU
+    worker; see the verify skill's ~1-minute dispatch rule).
 
-    # Spectral envelope on the rfft half-grid, built in numpy. The envelope
-    # is real and even in k, so filtering white noise with it commutes with
-    # the real-pair transform — no complex arrays are ever materialized
-    # (eager complex arithmetic is UNIMPLEMENTED on axon, and this function
-    # is called eagerly by probe/IC scripts as well as under jit).
+    The envelope is real and even in k, so filtering white noise with it
+    commutes with the real-pair transform — no complex arrays are ever
+    materialized (eager complex arithmetic is UNIMPLEMENTED on axon, and
+    this is called eagerly by probe/IC scripts as well as under jit). Only
+    the per-axis k^2 VECTORS are trace-time numpy constants; the N-D array
+    is assembled on device — a materialized 512^3 envelope constant
+    (270 MB) exceeds the relay's compile-payload limit (HTTP 413,
+    measured)."""
+    shape = grid.shape
+    lengths = [d[1] - d[0] for d in grid.domain]
     ks = [np.fft.fftfreq(n, d=l / n) for n, l in zip(shape, lengths)]
     ks[-1] = ks[-1][: shape[-1] // 2 + 1]
-    kmag = np.sqrt(sum(g**2 for g in np.meshgrid(*ks, indexing="ij")))
     kp = peak_wavenumber / lengths[0]
-    env = (kmag / kp) ** 2 * np.exp(-((kmag / kp) ** 2) / 2.0)
-    env = env.astype(np.float32)
+    kmag2 = None
+    for d, k in enumerate(ks):
+        sh = [1] * len(shape)
+        sh[d] = len(k)
+        term = jnp.asarray((k**2).astype(np.float32)).reshape(sh)
+        kmag2 = term if kmag2 is None else kmag2 + term
+    u2 = kmag2 / jnp.float32(kp**2)  # = (|k| / kp)^2
+    env = u2 * jnp.exp(-u2 / 2.0)
 
-    def smooth_noise(k):
-        # White noise shaped by the envelope: filter via real-pair DFT matmuls.
-        x = jax.random.normal(k, shape, jnp.float32)
-        zr, zi = rfftn_pair(x, axes=(0, 1, 2))
-        return irfftn_pair(zr * env, zi * env, s=shape, axes=(0, 1, 2))
+    x = jax.random.normal(key, shape, jnp.float32)
+    zr, zi = rfftn_pair(x, axes=(0, 1, 2))
+    return irfftn_pair(zr * env, zi * env, s=shape, axes=(0, 1, 2))
 
-    a = [smooth_noise(k) for k in keys]
-    # v = curl(A) via centered differences (divergence-free up to FD error;
-    # a projection pass removes the rest).
+
+def velocity_from_potential_3d(a, grid, maximum_velocity: float = 7.0):
+    """curl(A) of a 3-component vector potential via centered differences
+    (divergence-free up to FD error; one projection pass removes the
+    rest), rescaled to ``maximum_velocity``. Second half of
+    ``filtered_velocity_field_3d``."""
+    h = grid.step
+
     def ddx(f, ax, hh):
         return (_roll(f, -1, ax) - _roll(f, 1, ax)) / (2 * hh)
 
@@ -330,3 +370,19 @@ def filtered_velocity_field_3d(
     speed = jnp.sqrt(u**2 + v**2 + w**2)
     scale = maximum_velocity / jnp.maximum(jnp.max(speed), 1e-12)
     return u * scale, v * scale, w * scale
+
+
+def filtered_velocity_field_3d(
+    key, grid, maximum_velocity: float = 7.0, peak_wavenumber: float = 4.0
+):
+    """Random divergence-free 3D velocity: curl of a smooth random vector
+    potential with the energy peak near ``peak_wavenumber``, rescaled to
+    ``maximum_velocity`` (jax-cfd filtered_velocity_field equivalent for
+    the 3D projection path). Exactly divergence-free in the FD sense after
+    one projection. For grids >=512^3 call ``potential_noise_3d`` per
+    component + ``velocity_from_potential_3d`` in separate jit dispatches
+    instead (same keys, same result) to stay under the relay's dispatch
+    limit."""
+    keys = jax.random.split(key, 3)
+    a = [potential_noise_3d(k, grid, peak_wavenumber) for k in keys]
+    return velocity_from_potential_3d(a, grid, maximum_velocity)

@@ -57,6 +57,8 @@ def probe(size, n_steps, path):
     from fourierflow_tpu.utils import Grid
     from fourierflow_tpu.utils.finite_volume import (
         filtered_velocity_field_3d,
+        potential_noise_3d,
+        velocity_from_potential_3d,
         kolmogorov_forcing_fv,
         semi_implicit_navier_stokes,
     )
@@ -80,8 +82,21 @@ def probe(size, n_steps, path):
         return out
 
     t_ic = time.perf_counter()
-    vel = jax.jit(lambda k: filtered_velocity_field_3d(k, grid))(
-        jax.random.PRNGKey(0))
+    if size >= 512:
+        # Bounded per-component dispatches: the fused IC graph at 256^3
+        # already costs ~44 s compile+execute, and a single >~1 min
+        # dispatch kills the TPU worker. Same keys, same result as the
+        # fused filtered_velocity_field_3d.
+        pn = jax.jit(lambda k: potential_noise_3d(k, grid))
+        a = []
+        for k in jax.random.split(jax.random.PRNGKey(0), 3):
+            f = pn(k)
+            _ = float(f[0, 0, 0])
+            a.append(f)
+        vel = jax.jit(lambda aa: velocity_from_potential_3d(aa, grid))(a)
+    else:
+        vel = jax.jit(lambda k: filtered_velocity_field_3d(k, grid))(
+            jax.random.PRNGKey(0))
     _ = float(vel[0][0, 0, 0])
     print(f"[probe] {size}^3 IC build {time.perf_counter() - t_ic:.1f}s",
           flush=True)
@@ -112,8 +127,15 @@ def main():
     args = p.parse_args()
     os.makedirs(os.path.dirname(os.path.abspath(args.results)), exist_ok=True)
 
-    probe(256, 20, args.results)
-    if not args.skip_512:
+    def measured(size):
+        if not os.path.exists(args.results):
+            return False
+        with open(args.results) as f:
+            return f"step_ms_{size}" in json.load(f)
+
+    if not measured(256):
+        probe(256, 20, args.results)
+    if not args.skip_512 and not measured(512):
         ms = probe(512, 8, args.results)
         # One production trajectory = 200 snapshots x 64 inner steps
         # (reference train.yaml).

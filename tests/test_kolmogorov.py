@@ -588,6 +588,40 @@ def test_projection_method_3d():
     np.testing.assert_allclose(div, 0.0, atol=2e-3)
 
 
+def test_inv_laplacian_on_device_matches_numpy_and_stays_small():
+    """The projection's inverse-Laplacian eigenvalues are assembled on
+    device from per-axis 1-D constants — the materialized N-D constant
+    blows the TPU relay's compile-payload limit at 512^3 (HTTP 413,
+    measured round 5). The device assembly must (a) match the numpy
+    formula exactly and (b) keep big grids' lowered programs free of
+    N^3-scaled constant blobs."""
+    import jax
+    import jax.numpy as jnp
+
+    from fourierflow_tpu.utils.finite_volume import (
+        _fd_laplacian_eigs,
+        _inv_laplacian_on_device,
+        pressure_projection_nd,
+    )
+
+    shape, h = (8, 12, 10), (0.3, 0.2, 0.25)
+    want = _fd_laplacian_eigs(shape, h)
+    got = np.asarray(_inv_laplacian_on_device(shape, h, jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    assert got[0, 0, 0] == 0.0  # pressure gauge: zero mode removed
+
+    n = 128  # lowered text stays ~O(100 KB); the old embedded inv-lambda
+    # constant alone would print >1M floats here
+    x = jax.ShapeDtypeStruct((n, n, n), jnp.float32)
+    hs = [2 * np.pi / n] * 3
+    text = (
+        jax.jit(lambda u, v, w: pressure_projection_nd((u, v, w), hs))
+        .lower(x, x, x)
+        .as_text()
+    )
+    assert len(text) < 2_000_000, f"lowered program is {len(text)} bytes"
+
+
 def test_van_leer_advection_stability():
     """Forward-Euler projection defaults to Van Leer upwind advection
     (jax-cfd's default scheme, reference:data/kolmogorov/three_dimensions
