@@ -83,9 +83,11 @@ if [ ! -s /root/data/elasticity/elasticity_standin.json ]; then
 fi
 harvest /root/data/elasticity/elasticity_standin.json elasticity_standin.json
 
-# 2. Measured 256^3 (+512^3 last, the only HBM-risk dispatch) (VERDICT r4 #5).
-#    Self-contained; results merge incrementally so a timeout keeps 256^3.
-if ! grep -q "step_ms_256" /root/data/kol3d/kol3d_results.json 2>/dev/null; then
+# 2. Measured 256^3 + 512^3 (VERDICT r4 #5). The script skips
+#    already-measured sizes, so after the round-5 256^3 run this stage
+#    only retries the 512^3 probe (compile-payload fix: constants now
+#    assembled on device; IC in bounded per-component dispatches).
+if ! grep -q "step_ms_512" /root/data/kol3d/kol3d_results.json 2>/dev/null; then
   stage kol3d_highres 2100 python -u scripts/kol3d_highres.py \
     --results /root/data/kol3d/kol3d_results.json
 fi
