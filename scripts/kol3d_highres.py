@@ -23,6 +23,7 @@ import logging
 import os
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -50,7 +51,7 @@ def merge(path, results):
     os.replace(tmp, path)
 
 
-def probe(size, n_steps, path):
+def probe(size, n_steps, path, dtype_name="f32"):
     import jax
     import jax.numpy as jnp
 
@@ -73,7 +74,13 @@ def probe(size, n_steps, path):
         ),
     )
 
-    @jax.jit
+    dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+
+    # Donate the carry: at 512^3 the state tuple alone is 1.61 GB and the
+    # step's transients (per-axis advection fluxes + the spectral Poisson
+    # solve's half-spectrum pairs) already press the 16 GB HBM — aliasing
+    # input and output buffers is the cheapest 1.6 GB back.
+    @partial(jax.jit, donate_argnums=0)
     def run(vel):
         def body(v, _):
             return step(v), None
@@ -94,12 +101,16 @@ def probe(size, n_steps, path):
             _ = float(f[0, 0, 0])
             a.append(f)
         vel = jax.jit(lambda aa: velocity_from_potential_3d(aa, grid))(a)
+        del a, f  # 3 x 537 MB of potential components must not stay live
     else:
         vel = jax.jit(lambda k: filtered_velocity_field_3d(k, grid))(
             jax.random.PRNGKey(0))
     _ = float(vel[0][0, 0, 0])
-    print(f"[probe] {size}^3 IC build {time.perf_counter() - t_ic:.1f}s",
-          flush=True)
+    if dtype != jnp.float32:
+        vel = jax.jit(lambda v: jax.tree.map(lambda x: x.astype(dtype), v),
+                      donate_argnums=0)(vel)
+    print(f"[probe] {size}^3 IC build {time.perf_counter() - t_ic:.1f}s "
+          f"({dtype_name})", flush=True)
     t_c = time.perf_counter()
     out = run(vel)
     _ = float(out[0][0, 0, 0])  # compile + settle
@@ -112,11 +123,13 @@ def probe(size, n_steps, path):
     finite = jax.jit(
         lambda vs: jnp.all(jnp.stack([jnp.isfinite(v).all() for v in vs])))
     assert bool(finite(out))
-    state_gb = 3 * size**3 * 4 / 1e9
+    bytes_per = 2 if dtype_name == "bf16" else 4
+    state_gb = 3 * size**3 * bytes_per / 1e9
+    suffix = "" if dtype_name == "f32" else f"_{dtype_name}"
     print(f"[probe] {size}^3 projection step: {ms:.2f} ms (dt {dt:.2e}, "
-          f"state {state_gb:.2f} GB)", flush=True)
-    merge(path, {f"step_ms_{size}": round(ms, 3),
-                 f"state_gb_{size}": round(state_gb, 3)})
+          f"state {state_gb:.2f} GB, {dtype_name})", flush=True)
+    merge(path, {f"step_ms_{size}{suffix}": round(ms, 3),
+                 f"state_gb_{size}{suffix}": round(state_gb, 3)})
     return ms
 
 
@@ -124,6 +137,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--results", default="/root/data/kol3d/kol3d_results.json")
     p.add_argument("--skip-512", action="store_true")
+    p.add_argument("--only-512-bf16", action="store_true",
+                   help="internal: bf16 512^3 leg, run in a fresh process "
+                   "(a raised device error can poison a JAX process on "
+                   "this relay)")
     args = p.parse_args()
     os.makedirs(os.path.dirname(os.path.abspath(args.results)), exist_ok=True)
 
@@ -133,16 +150,37 @@ def main():
         with open(args.results) as f:
             return f"step_ms_{size}" in json.load(f)
 
+    # One production trajectory = 200 snapshots x 64 inner steps
+    # (reference train.yaml).
+    def record_traj(ms, key):
+        traj_min = ms * 200 * 64 / 1e3 / 60
+        merge(args.results, {key: round(traj_min, 1)})
+        print(f"[probe] one 512^3 production trajectory (12,800 steps): "
+              f"{traj_min:.0f} min/chip", flush=True)
+
+    if args.only_512_bf16:
+        record_traj(probe(512, 8, args.results, dtype_name="bf16"),
+                    "traj_512_minutes_measured_bf16")
+        return
+
     if not measured(256):
         probe(256, 20, args.results)
     if not args.skip_512 and not measured(512):
-        ms = probe(512, 8, args.results)
-        # One production trajectory = 200 snapshots x 64 inner steps
-        # (reference train.yaml).
-        traj_min = ms * 200 * 64 / 1e3 / 60
-        merge(args.results, {"traj_512_minutes_measured": round(traj_min, 1)})
-        print(f"[probe] one 512^3 production trajectory (12,800 steps): "
-              f"{traj_min:.0f} min/chip", flush=True)
+        try:
+            record_traj(probe(512, 8, args.results),
+                        "traj_512_minutes_measured")
+        except Exception as e:
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            print("[probe] 512^3 f32 OOM (16 GB HBM); retrying with a "
+                  "bf16 state in a fresh process", flush=True)
+            merge(args.results, {"oom_512_f32": True})
+            import subprocess
+
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--results", args.results, "--only-512-bf16"],
+                check=True)
 
 
 if __name__ == "__main__":
