@@ -42,7 +42,10 @@ if os.environ.get("JAX_PLATFORMS"):
 import numpy as np
 
 STRIDE_SPACE = 2  # 64^2 -> 32x32 nodes
-STRIDE_TIME = 4   # model-cadence frames -> training cadence
+STRIDE_TIME = 4   # model-cadence frames -> training cadence (default; the
+                  # round-5 run showed stride-4 deltas are so small that
+                  # persistence is near-optimal — --stride-time 16 makes
+                  # the one-step task non-trivial)
 
 
 def _mesh(n):
@@ -63,7 +66,7 @@ def _mesh(n):
     return pos, cells, node_type
 
 
-def build_h5(src, out, n_train, n_valid, n_test):
+def build_h5(src, out, n_train, n_valid, n_test, stride_time=STRIDE_TIME):
     import h5py
 
     with h5py.File(src, "r") as f:
@@ -73,7 +76,7 @@ def build_h5(src, out, n_train, n_valid, n_test):
     assert S >= n_train + n_valid + n_test, f"only {S} trajectories in {src}"
     n = vx.shape[-1] // STRIDE_SPACE
     pos, cells, node_type = _mesh(n)
-    v = np.stack([vx, vy], axis=-1)[:, ::STRIDE_TIME,
+    v = np.stack([vx, vy], axis=-1)[:, ::stride_time,
                                     ::STRIDE_SPACE, ::STRIDE_SPACE]
     v = v.reshape(S, v.shape[1], -1, 2).astype(np.float32)  # [S, T', N, 2]
     vel, tgt = v[:, :-1], v[:, 1:]
@@ -106,18 +109,24 @@ def main():
     p.add_argument("--n-train", type=int, default=24)
     p.add_argument("--n-valid", type=int, default=4)
     p.add_argument("--n-test", type=int, default=4)
+    p.add_argument("--stride-time", type=int, default=STRIDE_TIME)
     p.add_argument("--override", action="append", default=[])
     args = p.parse_args()
 
     os.makedirs(args.data_dir, exist_ok=True)
     h5_path = os.path.join(args.data_dir, "cylinder_flow.h5")
     vel, tgt, splits = build_h5(args.source, h5_path, args.n_train,
-                                args.n_valid, args.n_test)
+                                args.n_valid, args.n_test,
+                                stride_time=args.stride_time)
 
     # Persistence baseline: one-step loss of predicting zero delta,
     # same normalization as MeshGraphNetRoutine._loss.
     deltas = (tgt - vel)[splits["test"]]
     persistence = float((0.5 * deltas**2).sum(-1).mean())
+    # Persistence 50-step rollout under the valid_step convention (state
+    # frozen at t=0, per-step target delta measured from that state).
+    tv, v0 = tgt[splits["test"]][:, :50], vel[splits["test"]][:, 0]
+    persistence_roll = float((0.5 * (tv - v0[:, None]) ** 2).sum(-1).mean())
 
     from fourierflow_tpu.commands import train as train_cmd
 
@@ -129,6 +138,8 @@ def main():
         config_dir=os.path.join(args.data_dir, "runs", "baseline"))
     out = {k: float(v) for k, v in trainer.logs.items() if np.ndim(v) == 0}
     out["persistence_one_step_loss"] = persistence
+    out["persistence_rollout_loss"] = persistence_roll
+    out["stride_time"] = args.stride_time
     out["wall_s"] = round(time.time() - t0, 1)
     out["standin_source"] = args.source
     with open(os.path.join(args.data_dir, "mgn_standin.json"), "w") as f:

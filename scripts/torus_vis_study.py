@@ -95,13 +95,21 @@ def main():
 
     vis = os.path.join(args.data_dir, "torus_vis.h5")
     forced = os.path.join(args.data_dir, "torus_vis_force.h5")
-    generate(vis, False, args)
-    if any(name not in results for name, _, d in JOBS if d == "force"):
+    only = {n for n in args.only.split(",") if n}
+
+    def will_run(name):
+        """True if any trial of this job is still to do under --only."""
+        if only and name not in only:
+            return False
+        return any((name if t == 0 else f"{name}_trial{t}") not in results
+                   for t in range(args.trials))
+
+    if any(will_run(name) for name, _, d in JOBS if d == "vis"):
+        generate(vis, False, args)
+    if any(will_run(name) for name, _, d in JOBS if d == "force"):
         generate(forced, True, args)
 
     from fourierflow_tpu.commands import train as train_cmd
-
-    only = {n for n in args.only.split(",") if n}
     for name, config, dset in JOBS:
         if only and name not in only:
             continue

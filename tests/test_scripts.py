@@ -136,6 +136,29 @@ def test_mgn_standin_mesh_is_valid_triangulation():
     assert set(np.unique(node_type)) == {0, 6}
 
 
+def test_mgn_standin_build_h5_stride_time(tmp_path):
+    """--stride-time subsamples frames before the (vel, tgt) pairing, so
+    targets are stride-sized deltas, not stride-strided one-frame deltas."""
+    import h5py
+
+    mg = _load("mgn_standin")
+    src = tmp_path / "src.h5"
+    T, n = 33, 8
+    ramp = np.arange(T, dtype=np.float32)[None, :, None, None]
+    with h5py.File(src, "w") as f:
+        f["vx"] = np.broadcast_to(ramp, (3, T, n, n)).copy()
+        f["vy"] = np.zeros((3, T, n, n), np.float32)
+    out = tmp_path / "cyl.h5"
+    mg.build_h5(str(src), str(out), 1, 1, 1, stride_time=16)
+    with h5py.File(out, "r") as f:
+        vel = f["train/velocity"][...]
+        tgt = f["train/target_velocity"][...]
+    # T=33 at stride 16 -> frames {0,16,32} -> 2 (vel,tgt) pairs.
+    assert vel.shape[1] == 2
+    # The vx delta per pair is the full 16-frame ramp step.
+    np.testing.assert_allclose(tgt[..., 0] - vel[..., 0], 16.0)
+
+
 def test_li_diagnosis_reference_alignment():
     """The diagnosis compares snapshots at raw indices 15, 31, ... — the
     exact two-stage subsample KolmogorovVelocityTrajectoryDataset uses
